@@ -1,0 +1,311 @@
+"""Configuration system.
+
+Three-level override semantics matching the reference
+(reference: utils/misc.py:26-36 `parse_with_config` — CLI beats JSON —
+plus train_utils.py:59-112 convenience-flag mutation of nested data_cfg),
+rebuilt as a typed dataclass tree:
+
+  1. dataclass defaults          (the ~95 argparse defaults, train_utils.py:599-698)
+  2. JSON config file            (``--config foo.json``)
+  3. explicit CLI ``--key value`` overrides
+
+All configs are plain frozen-ish dataclasses so they can be hashed into jit
+static arguments where needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# model configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyper-parameters for the VALOR tri-modal model.
+
+    Defaults mirror the reference argparse defaults
+    (reference: train_utils.py:601-695) and pretrain-VALOR-base.json.
+    """
+
+    # encoders
+    video_encoder_type: str = "clip_vit_base_16"
+    txt_encoder_type: str = "clip_vit_base_16"
+    audio_encoder_type: str = "ast"
+    multimodal_encoder_type: str = "bert_base_uncased"
+    share_txt_and_multimodal: bool = True
+    multimodal_use_cross_attn: bool = True
+    cross_attn_type: str = "va_concate"  # va_concate|va_parallel|video_audio|audio_video
+
+    # vision
+    video_resolution: int = 224
+    frozen_vision: bool = False
+    initial_vision: bool = True
+    videoswin_timestride: int = 1
+
+    # audio (AST patching over log-mel)
+    audio_melbins: int = 64
+    audio_patch_size: int = 16
+    audio_target_length: int = 512
+    audio_frame_shift: int = 10
+    audio_mean: float = -4.2677393
+    audio_std: float = 4.5689974
+
+    # fusion / heads
+    contra_type: str = "fine"  # 'fine' | 'coarse'
+    contra_dim: int = 512
+    caption_type: str = "unimlm"  # 'unimlm' | 'lm'
+    fineweight_type: str = "two"
+    late_fusion: bool = False
+    full_masker: bool = False
+    use_task_prompt: bool = False
+    init_clip_head: bool = True
+    label_smoothing: float = 0.0
+    contra_loss_ratio: float = 1.0
+    dual_softmax: bool = False
+    evaluate_ret_text: bool = False
+    frozen_multimodal: bool = False
+    initial_multimodal: bool = True
+
+    # generation
+    max_generation_len: int = 30
+    beam_size: int = 3
+    beam_size_qa: int = 1
+    scst_finetuning: bool = False
+
+    # text
+    max_txt_len: int = 30
+
+    # architecture size overrides (base BERT/AST dims by default; smaller
+    # values support unit tests and scaled-down ablations)
+    fusion_hidden: int = 768
+    fusion_layers: int = 12
+    fusion_heads: int = 12
+    fusion_intermediate: int = 3072
+    fusion_vocab: int = 30522
+    audio_hidden: int = 768
+    audio_layers: int = 12
+    audio_heads: int = 12
+    audio_intermediate: int = 3072
+
+    # regularisation / compute policy
+    dropout: float = 0.1
+    checkpointing: bool = False  # jax.checkpoint (remat) per encoder layer
+    dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
+
+    # Pallas kernel switches (TPU fast path; pure-XLA fallback always exists)
+    use_flash_attention: bool = True
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class DatasetConfig:
+    """One dataset inside a training/eval mix (reference data_cfg.datasets[])."""
+
+    name: str = ""
+    ids_path: str = ""
+    txt: str = ""
+    video: str = ""
+    audio: str = ""
+    datatype: str = "video"  # video | image | audio-only handled via task
+    video_transforms: str = "none"  # none | crop_flip
+
+
+@dataclass
+class DataFlowConfig:
+    """One entry of data_cfg.train / data_cfg.val (a task + loader params)."""
+
+    datasets: List[DatasetConfig] = field(default_factory=list)
+    task: str = ""
+    batch_size: int = 64
+    epoch: int = 1
+    n_workers: int = 4
+    video_sample_num: int = 4
+    audio_sample_num: int = 1
+    max_txt_len: int = 30
+    name: str = ""  # eval entries carry flat fields; name used for logging
+
+
+@dataclass
+class TrainConfig:
+    """Optimisation / loop hyper-parameters (reference argparse + JSON)."""
+
+    output_dir: str = ""
+    learning_rate: float = 1e-4
+    clip_lr: float = 5e-7
+    clip_lr_text: float = 5e-7
+    new_lr: float = 0.0
+    decoder_lr: float = -1.0
+    new_params_name: List[str] = field(default_factory=list)
+    optim: str = "adamw"
+    betas: Tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 0.01
+    grad_norm: float = 5.0
+    warmup_ratio: float = 0.1
+    scheduler: str = "warmup_linear"
+    num_train_steps: int = 0
+    gradient_accumulation_steps: int = 1
+    dataset_mix_type: str = "random"  # random | accum (round-robin)
+    seed: int = 42
+    valid_steps: int = 1000
+    valid_freq: int = 10
+    save_best: bool = False
+    remove_before_ckpt: bool = True
+    resume: bool = False
+    zero_shot: bool = False
+    first_eval: bool = True
+    pretrain_dir: Optional[str] = None
+    checkpoint: Optional[str] = None
+    fp16: bool = True  # kept for config parity; TPU path uses bf16
+
+
+@dataclass
+class Config:
+    """Top-level config: model + train + data mix."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data_train: List[DataFlowConfig] = field(default_factory=list)
+    data_val: List[DataFlowConfig] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# JSON / CLI loading with reference-compatible flat-key layout
+# ---------------------------------------------------------------------------
+
+_MODEL_KEYS = {f.name for f in dataclasses.fields(ModelConfig)}
+_TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    if typ is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes", "y")
+    if typ in (int, float) and isinstance(value, str):
+        return typ(value)
+    if typ is Tuple[float, float] and isinstance(value, (list, tuple)):
+        return tuple(float(v) for v in value)
+    return value
+
+
+def _dataset_cfg(d: Dict[str, Any]) -> DatasetConfig:
+    known = {f.name for f in dataclasses.fields(DatasetConfig)}
+    return DatasetConfig(**{k: v for k, v in d.items() if k in known})
+
+
+def _flow_cfg(d: Dict[str, Any]) -> DataFlowConfig:
+    known = {f.name for f in dataclasses.fields(DataFlowConfig)}
+    kw = {k: v for k, v in d.items() if k in known and k != "datasets"}
+    datasets = [_dataset_cfg(x) for x in d.get("datasets", [])]
+    if not datasets:
+        # eval entries in the reference configs are flat dataset+flow dicts
+        ds_known = {f.name for f in dataclasses.fields(DatasetConfig)}
+        ds = {k: v for k, v in d.items() if k in ds_known}
+        if ds.get("ids_path") or ds.get("txt"):
+            datasets = [_dataset_cfg(ds)]
+    return DataFlowConfig(datasets=datasets, **kw)
+
+
+def load_config(
+    json_path: Optional[str] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> Config:
+    """Build a Config from (defaults <- JSON file <- overrides).
+
+    ``overrides`` uses the same flat key space as the reference CLI, plus the
+    convenience keys (``train_batch_size``, ``train_video_sample_num``,
+    ``test_video_sample_num``, ...) that mutate the nested data config
+    (reference: train_utils.py:59-112).
+    """
+    flat: Dict[str, Any] = {}
+    data_cfg: Dict[str, Any] = {}
+    if json_path:
+        with open(json_path) as f:
+            raw = json.load(f)
+        data_cfg = raw.pop("data_cfg", {})
+        flat.update(raw)
+    if overrides:
+        flat.update({k: v for k, v in overrides.items() if v is not None})
+        if "data_cfg" in flat:
+            data_cfg = flat.pop("data_cfg")
+
+    model_kw, train_kw = {}, {}
+    model_fields = {f.name: f for f in dataclasses.fields(ModelConfig)}
+    train_fields = {f.name: f for f in dataclasses.fields(TrainConfig)}
+    extra: Dict[str, Any] = {}
+    for k, v in flat.items():
+        if k in _MODEL_KEYS:
+            model_kw[k] = _coerce(v, model_fields[k].type)
+        elif k in _TRAIN_KEYS:
+            train_kw[k] = _coerce(v, train_fields[k].type)
+        else:
+            extra[k] = v
+
+    cfg = Config(
+        model=ModelConfig(**model_kw),
+        train=TrainConfig(**train_kw),
+        data_train=[_flow_cfg(d) for d in data_cfg.get("train", [])],
+        data_val=[_flow_cfg(d) for d in data_cfg.get("val", [])],
+    )
+    _apply_convenience_overrides(cfg, extra)
+    return cfg
+
+
+# convenience flat flags -> nested data config mutation
+# (reference: train_utils.py:59-112 `initialize`)
+_TRAIN_FLOW_MAP = {
+    "train_batch_size": "batch_size",
+    "train_video_sample_num": "video_sample_num",
+    "train_audio_sample_num": "audio_sample_num",
+    "train_epoch": "epoch",
+    "train_task": "task",
+}
+_VAL_FLOW_MAP = {
+    "test_batch_size": "batch_size",
+    "test_video_sample_num": "video_sample_num",
+    "test_audio_sample_num": "audio_sample_num",
+    "test_task": "task",
+}
+_TRAIN_DS_MAP = {"train_id": "ids_path", "train_txt_mapper": "txt"}
+_VAL_DS_MAP = {"test_id": "ids_path", "test_txt_mapper": "txt"}
+
+
+def _apply_convenience_overrides(cfg: Config, extra: Dict[str, Any]) -> None:
+    def setflows(flows: Sequence[DataFlowConfig], key: str, value: Any) -> None:
+        for fl in flows:
+            setattr(fl, key, value)
+
+    for k, v in extra.items():
+        if v in (None, "", -1):
+            continue
+        if k in _TRAIN_FLOW_MAP:
+            setflows(cfg.data_train, _TRAIN_FLOW_MAP[k], v)
+        elif k in _VAL_FLOW_MAP:
+            setflows(cfg.data_val, _VAL_FLOW_MAP[k], v)
+        elif k in _TRAIN_DS_MAP:
+            for fl in cfg.data_train:
+                for ds in fl.datasets:
+                    setattr(ds, _TRAIN_DS_MAP[k], v)
+        elif k in _VAL_DS_MAP:
+            for fl in cfg.data_val:
+                for ds in fl.datasets:
+                    setattr(ds, _VAL_DS_MAP[k], v)
+        # unknown keys ignored (parity with argparse ignoring unknowns in JSON)
+
+
+def config_to_json(cfg: Config) -> str:
+    """Serialize for the `hps.json` dump (reference: train.py:70-71)."""
+
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        raise TypeError(type(o))
+
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=enc)

@@ -1,0 +1,240 @@
+"""BERT multimodal fusion encoder (flax).
+
+Behavioural spec from the reference (model/bert.py):
+  * BertEmbeddings (:173-218): word + position + token-type embeddings,
+    LN(1e-12), with a dedicated 1-row prompt-type embedding; in full-masker
+    mode the second (mask-stream) half reuses the first half's positions
+    shifted by one (:198-201 — we reproduce the *intended* shifted-position
+    behaviour; the reference's in-place hack is its own documented bug,
+    SURVEY.md §7 hard-part 8).
+  * Post-norm BertLayer (:423-496) with optional per-layer cross-attention
+    to video/audio in 4 topologies: va_concate / va_parallel / video_audio /
+    audio_video (:447-493).
+  * Input assembly + mask regimes (:750-896): [text | prompt | video |
+    audio] with bidirectional, causal-prefix, or full-masker masks; video/
+    audio enter the sequence only when cross-attention is off.
+
+The whole module is static-shape and jit-friendly; generation re-runs it on
+a fixed-size token buffer (the reference must do the same whenever
+cross-attention is on, model/pretrain.py:884-895).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from valor_tpu.ops.layers import (
+    Dense,
+    LayerNorm,
+    MlpBlock,
+    MultiHeadAttention,
+)
+from valor_tpu.ops.masks import concat_key_mask, fusion_attention_bias
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    has_cross_attn: bool = False
+    cross_attn_type: Optional[str] = None  # va_concate|va_parallel|video_audio|audio_video
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        init02 = nn.initializers.normal(0.02)
+        self.word_embeddings = self.param(
+            "word_embeddings", init02, (c.vocab_size, c.hidden_size), jnp.float32
+        )
+        self.position_embeddings = self.param(
+            "position_embeddings", init02, (c.max_position_embeddings, c.hidden_size), jnp.float32
+        )
+        self.token_type_embeddings = self.param(
+            "token_type_embeddings", init02, (c.type_vocab_size, c.hidden_size), jnp.float32
+        )
+        self.prompt_embedding = self.param(
+            "prompt_embedding", init02, (1, c.hidden_size), jnp.float32
+        )
+        self.ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="LayerNorm")
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        token_type: Optional[str] = None,  # None | 'prompt'
+        full_masker: bool = False,
+    ) -> jnp.ndarray:
+        n = input_ids.shape[1]
+        position_ids = jnp.arange(n)
+        if full_masker and token_type is None:
+            half = n // 2
+            position_ids = jnp.concatenate([jnp.arange(half), jnp.arange(half) + 1])
+        x = jnp.take(self.word_embeddings, input_ids, axis=0)
+        x = x + jnp.take(self.position_embeddings, position_ids, axis=0)[None]
+        if token_type == "prompt":
+            x = x + self.prompt_embedding[0][None, None]
+        else:
+            x = x + self.token_type_embeddings[0][None, None]
+        return self.ln(x.astype(self.dtype))
+
+
+class _ResidualAttn(nn.Module):
+    """attention -> dense -> LN(residual) — BertSelfOutput/BertCrossOutput
+    (reference: model/bert.py:344-371)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, bias=None):
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(x, kv, bias)
+        return LayerNorm(eps=1e-12, dtype=self.dtype, name="ln")(x + h)
+
+
+class BertFusionLayer(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        video_feat: Optional[jnp.ndarray],
+        audio_feat: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        c = self.cfg
+        x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="self_attn")(x, x, bias)
+        if c.has_cross_attn and (video_feat is not None or audio_feat is not None):
+            t = c.cross_attn_type
+            if t == "va_concate":
+                mem = [f for f in (video_feat, audio_feat) if f is not None]
+                mem = jnp.concatenate(mem, axis=1) if len(mem) > 1 else mem[0]
+                x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn")(x, mem)
+            elif t == "va_parallel":
+                if video_feat is not None and audio_feat is not None:
+                    xv = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")(x, video_feat)
+                    xa = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")(x, audio_feat)
+                    x = xv + xa
+                elif video_feat is not None:
+                    x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")(x, video_feat)
+                else:
+                    x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")(x, audio_feat)
+            elif t in ("video_audio", "audio_video"):
+                order = ("v", "a") if t == "video_audio" else ("a", "v")
+                for mod in order:
+                    feat = video_feat if mod == "v" else audio_feat
+                    if feat is not None:
+                        x = _ResidualAttn(
+                            c.num_heads, dtype=self.dtype, name=f"cross_attn_{mod}"
+                        )(x, feat)
+            else:
+                raise ValueError(f"unknown cross_attn_type {t!r}")
+        h = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")(x)
+        return LayerNorm(eps=1e-12, dtype=self.dtype, name="out_ln")(x + h)
+
+
+class BertFusionEncoder(nn.Module):
+    """Full fusion encoder: embeddings + mask construction + N layers."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        c = self.cfg
+        self.embeddings = BertEmbeddings(c, dtype=self.dtype, name="embeddings")
+        layer_cls = BertFusionLayer
+        if self.remat:
+            layer_cls = nn.remat(BertFusionLayer, static_argnums=())
+        self.layers = [
+            layer_cls(c, dtype=self.dtype, name=f"layer_{i}") for i in range(c.num_layers)
+        ]
+
+    def embedding_table(self) -> jnp.ndarray:
+        """Word-embedding table for tied-weight decoding (modeling.py:241)."""
+        return self.embeddings.word_embeddings
+
+    def __call__(
+        self,
+        tokens: Optional[jnp.ndarray],  # [B, N] int or None
+        task_prompt: Optional[jnp.ndarray] = None,  # [B, P] int
+        video_feat: Optional[jnp.ndarray] = None,  # [B, Nv, C]
+        audio_feat: Optional[jnp.ndarray] = None,  # [B, Na, C]
+        causal: bool = False,
+        full_masker: bool = False,
+        token_mask: Optional[jnp.ndarray] = None,  # override (tokens != 0)
+    ) -> jnp.ndarray:
+        c = self.cfg
+        feats = []
+        text_mask = None
+        text_len = 0
+        if tokens is not None:
+            feats.append(self.embeddings(tokens, None, full_masker))
+            text_mask = (
+                token_mask.astype(jnp.float32)
+                if token_mask is not None
+                else (tokens != 0).astype(jnp.float32)
+            )
+            text_len = tokens.shape[1]
+        prompt_mask = None
+        if task_prompt is not None:
+            feats.append(self.embeddings(task_prompt, "prompt"))
+            prompt_mask = (task_prompt != 0).astype(jnp.float32)
+
+        # video/audio join the token sequence only when cross-attn is off
+        in_seq_video = video_feat if not c.has_cross_attn else None
+        in_seq_audio = audio_feat if not c.has_cross_attn else None
+        n_video = in_seq_video.shape[1] if in_seq_video is not None else 0
+        n_audio = in_seq_audio.shape[1] if in_seq_audio is not None else 0
+        if in_seq_video is not None:
+            feats.append(in_seq_video.astype(self.dtype))
+        if in_seq_audio is not None:
+            feats.append(in_seq_audio.astype(self.dtype))
+
+        x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+        batch = x.shape[0]
+        key_mask = concat_key_mask(text_mask, prompt_mask, n_video, n_audio, batch)
+        bias = fusion_attention_bias(key_mask, text_len, causal, full_masker)
+
+        cross_v = video_feat.astype(self.dtype) if (c.has_cross_attn and video_feat is not None) else None
+        cross_a = audio_feat.astype(self.dtype) if (c.has_cross_attn and audio_feat is not None) else None
+
+        for layer in self.layers:
+            x = layer(x, bias, cross_v, cross_a)
+        return x
+
+
+class BertPredictionHead(nn.Module):
+    """dense -> gelu -> LN -> tied-embedding decode (+bias).
+
+    reference: model/modeling.py:232-254; the decoder weight is tied to the
+    fusion encoder's word embedding — the caller passes that table in.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, embedding_table: jnp.ndarray) -> jnp.ndarray:
+        hidden = embedding_table.shape[1]
+        h = Dense(hidden, dtype=self.dtype, name="dense")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = LayerNorm(eps=1e-12, dtype=self.dtype, name="layernorm")(h)
+        logits = jnp.dot(h, embedding_table.T.astype(h.dtype))
+        bias = self.param(
+            "decoder_bias", nn.initializers.zeros, (embedding_table.shape[0],), jnp.float32
+        )
+        return logits + bias.astype(logits.dtype)

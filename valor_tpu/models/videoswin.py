@@ -1,0 +1,280 @@
+"""VideoSwin 3D encoder (flax), XLA-static reimplementation.
+
+Behavioural spec from the reference (model/videoswin.py):
+  * PatchEmbed3D (:347-376): Conv3d patch (2,4,4) with time-stride 1 and a
+    +1 temporal pad, optional LayerNorm.
+  * 4 BasicLayers (:287-345) of depths [2,2,18,2] (small) with window
+    (8,7,7), alternating shift (0 / window//2), PatchMerging between stages
+    (:247-270), relative-position-biased window attention (:101-163).
+  * Shifted windows via jnp.roll + a precomputed per-window additive mask
+    (:272-285) — computed *statically at trace time* here, since all shapes
+    are static under jit (no lru_cache / device round-trip needed).
+
+TPU-native notes: window partition is pure reshape/transpose (free for
+XLA); the per-window attention batches all windows into one big batched
+matmul that tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from valor_tpu.ops.layers import Dense, LayerNorm, MlpBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    time_stride: int = 1
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+_PRESETS = {
+    "videoswin_small_k400_1k": SwinConfig(embed_dim=96, num_heads=(3, 6, 12, 24)),
+    "videoswin_base_k400_1k": SwinConfig(embed_dim=128, num_heads=(4, 8, 16, 32)),
+    "videoswin_base_k400_22k": SwinConfig(embed_dim=128, num_heads=(4, 8, 16, 32)),
+    "videoswin_base_k600_22k": SwinConfig(embed_dim=128, num_heads=(4, 8, 16, 32)),
+    # scaled-down variant for unit tests
+    "videoswin_tiny_test": SwinConfig(
+        embed_dim=8, depths=(1, 1), num_heads=(2, 2), window_size=(2, 2, 2)
+    ),
+}
+
+
+def swin_preset(name: str) -> SwinConfig:
+    return _PRESETS[name]
+
+
+# ---------------------------------------------------------------------------
+# static window geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def effective_window(
+    dims: Sequence[int], window: Sequence[int], shift: Sequence[int]
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Clamp window to volume size, zeroing shift on clamped axes
+    (reference: videoswin.py:86-99)."""
+    w, s = list(window), list(shift)
+    for i, d in enumerate(dims):
+        if d <= window[i]:
+            w[i] = d
+            s[i] = 0
+    return tuple(w), tuple(s)
+
+
+def window_partition(x: jnp.ndarray, w: Sequence[int]) -> jnp.ndarray:
+    """[B, D, H, W, C] -> [B*nW, wD*wH*wW, C] (pure reshape/transpose)."""
+    b, d, h, ww, c = x.shape
+    x = x.reshape(b, d // w[0], w[0], h // w[1], w[1], ww // w[2], w[2], c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, w[0] * w[1] * w[2], c)
+
+
+def window_reverse(
+    windows: jnp.ndarray, w: Sequence[int], b: int, d: int, h: int, ww: int
+) -> jnp.ndarray:
+    c = windows.shape[-1]
+    x = windows.reshape(b, d // w[0], h // w[1], ww // w[2], w[0], w[1], w[2], c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, ww, c)
+
+
+def _np_shift_mask(dims, window, shift) -> Optional[np.ndarray]:
+    """Per-window additive mask for shifted attention, computed in numpy at
+    trace time (all static).  Mirrors compute_mask (videoswin.py:272-285)."""
+    if not any(shift):
+        return None
+    d, h, w = dims
+    img = np.zeros((1, d, h, w, 1), np.float32)
+    cnt = 0
+    for ds in (slice(-window[0]), slice(-window[0], -shift[0] or None), slice(-shift[0] or d, None)):
+        for hs in (slice(-window[1]), slice(-window[1], -shift[1] or None), slice(-shift[1] or h, None)):
+            for ws in (slice(-window[2]), slice(-window[2], -shift[2] or None), slice(-shift[2] or w, None)):
+                img[:, ds, hs, ws, :] = cnt
+                cnt += 1
+    n = window[0] * window[1] * window[2]
+    win = (
+        img.reshape(1, d // window[0], window[0], h // window[1], window[1], w // window[2], window[2], 1)
+        .transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        .reshape(-1, n)
+    )
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)  # [nW, n, n]
+
+
+def _np_relative_index(window) -> np.ndarray:
+    """Relative-position index table (videoswin.py:113-127), static numpy."""
+    coords = np.stack(
+        np.meshgrid(*[np.arange(s) for s in window], indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window[0] - 1
+    rel[:, :, 1] += window[1] - 1
+    rel[:, :, 2] += window[2] - 1
+    rel[:, :, 0] *= (2 * window[1] - 1) * (2 * window[2] - 1)
+    rel[:, :, 1] *= 2 * window[2] - 1
+    return rel.sum(-1)  # [n, n]
+
+
+class WindowAttention3D(nn.Module):
+    dim: int
+    window: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """x: [B_, N, C] windows; mask: [nW, N, N] or None."""
+        b_, n, c = x.shape
+        h = self.num_heads
+        head = c // h
+        qkv = Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, h, head).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * (head**-0.5), qkv[1], qkv[2]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+
+        table_size = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) * (2 * self.window[2] - 1)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (table_size, h),
+            jnp.float32,
+        )
+        idx = jnp.asarray(_np_relative_index(self.window)[:n, :n].reshape(-1))
+        bias = jnp.take(table, idx, axis=0).reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(b_, h, n, n)
+        probs = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock3D(nn.Module):
+    dim: int
+    num_heads: int
+    window: Tuple[int, int, int]
+    shift: Tuple[int, int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, D, H, W, C]."""
+        b, d, h, w, c = x.shape
+        window, shift = effective_window((d, h, w), self.window, self.shift)
+        shortcut = x
+        x = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1")(x)
+        # pad to window multiples (static)
+        pd = (-d) % window[0]
+        ph = (-h) % window[1]
+        pw = (-w) % window[2]
+        x = jnp.pad(x, ((0, 0), (0, pd), (0, ph), (0, pw), (0, 0)))
+        dp, hp, wp = d + pd, h + ph, w + pw
+        if any(shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+            mask_np = _np_shift_mask((dp, hp, wp), window, shift)
+            mask = jnp.asarray(mask_np) if mask_np is not None else None
+        else:
+            mask = None
+        wins = window_partition(x, window)
+        wins = WindowAttention3D(
+            self.dim, window, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+        )(wins, mask)
+        x = window_reverse(wins, window, b, dp, hp, wp)
+        if any(shift):
+            x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
+        x = x[:, :d, :h, :w]
+        x = shortcut + x
+        y = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = MlpBlock(int(c * self.mlp_ratio), "gelu", dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2x2 spatial merge (videoswin.py:247-270)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, d, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm")(x)
+        return Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinTransformer3D(nn.Module):
+    """[B, n_frames, H, W, 3] -> [B, D', H', W', C] feature volume."""
+
+    cfg: SwinConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b, t, hh, ww, _ = video.shape
+        x = video.astype(self.dtype)
+        # temporal pad +1 (reference: videoswin.py:367) then 3D conv patch
+        pw = (-ww) % c.patch_size[2]
+        ph = (-hh) % c.patch_size[1]
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, ph), (0, pw), (0, 0)))
+        x = nn.Conv(
+            features=c.embed_dim,
+            kernel_size=c.patch_size,
+            strides=(c.time_stride, c.patch_size[1], c.patch_size[2]),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(x)
+        x = LayerNorm(eps=1e-5, dtype=self.dtype, name="patch_norm")(x)
+
+        block_cls = SwinBlock3D
+        if self.remat:
+            block_cls = nn.remat(SwinBlock3D, static_argnums=())
+        for stage, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
+            dim = int(c.embed_dim * 2**stage)
+            half = tuple(s // 2 for s in c.window_size)
+            for blk in range(depth):
+                x = block_cls(
+                    dim=dim,
+                    num_heads=heads,
+                    window=c.window_size,
+                    shift=(0, 0, 0) if blk % 2 == 0 else half,
+                    mlp_ratio=c.mlp_ratio,
+                    qkv_bias=c.qkv_bias,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x)
+            if stage < len(c.depths) - 1:
+                x = PatchMerging(dim, dtype=self.dtype, name=f"stage{stage}_merge")(x)
+        return LayerNorm(eps=1e-5, dtype=self.dtype, name="norm")(x)

@@ -1,0 +1,241 @@
+"""Core neural-net ops, TPU-first.
+
+Replaces the reference's layer zoo (apex FusedLayerNorm, HF BertSelf*/
+MultiHeadAttention in model/bert.py + model/transformer.py, nn.MultiheadAttention
+in model/clip.py:172) with a single set of flax.linen modules:
+
+  * parameters are stored fp32; activations run in a configurable compute
+    dtype (bf16 on TPU — replacing the whole apex AMP O2 machinery,
+    reference: apex/apex/amp/, train_utils.py:222; bf16 needs no loss
+    scaling and XLA keeps softmax/LN accumulation in fp32 here),
+  * attention is one einsum-based module with an optional additive bias
+    mask and an optional fixed-size KV cache (decode path), so the three
+    reference attention implementations collapse into one,
+  * LayerNorm accumulates in fp32 regardless of compute dtype (numerical
+    parity with apex's fused kernel, reference: apex/csrc/layer_norm_cuda*).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+NEG_INF = -1e4  # reference uses (1-mask)*-10000 (model/bert.py:803)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """erf-based gelu (reference: model/bert.py:52-57 / transformer.py:32-38)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU  x*sigmoid(1.702x) (reference: model/clip.py:167-169)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACT2FN = {"gelu": gelu_exact, "quick_gelu": quick_gelu, "relu": jax.nn.relu}
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics and cast-back to compute dtype.
+
+    TPU-native stand-in for apex FusedLayerNorm (XLA fuses this into one
+    kernel); eps defaults to the BERT value 1e-12 used throughout the
+    reference (model/bert.py:182 etc.).
+    """
+
+    eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with fp32 params and compute-dtype matmul."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Embed(nn.Module):
+    """Token embedding with fp32 table, compute-dtype output."""
+
+    num_embeddings: int
+    features: int
+    dtype: Dtype = jnp.float32
+    embedding_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding", self.embedding_init, (self.num_embeddings, self.features), jnp.float32
+        )
+        return jnp.take(table, ids, axis=0).astype(self.dtype)
+
+    def attend(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tied-weight decoding: x @ table.T (BERTPredictionHead tie,
+        reference: model/modeling.py:241)."""
+        table = self.get_variable("params", "embedding")
+        return jnp.dot(x, table.T.astype(x.dtype))
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # [B, H, Q, D]
+    k: jnp.ndarray,  # [B, H, K, D]
+    v: jnp.ndarray,  # [B, H, K, D]
+    bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to [B,H,Q,K]
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Masked scaled-dot-product attention; softmax in fp32.
+
+    One implementation serving BertSelfAttention / BertCrossAttention /
+    clip's nn.MultiheadAttention / transformer.MultiHeadAttention
+    (reference: model/bert.py:244-340, model/transformer.py:106-130).
+    """
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(depth)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
+    return out
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention with optional additive bias and KV cache.
+
+    The decode cache is caller-managed (pure-functional): pass ``cache_kv``
+    = (k_cache, v_cache) of fixed length plus a validity bias; the module
+    only computes fresh K/V for the provided kv inputs and the caller
+    decides how to merge (see eval/generate.py).  This keeps the module
+    shape-static and jit-friendly, unlike the reference's dict-of-tensors
+    growing cache (model/bert.py:258-268).
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    dropout: float = 0.0
+    out_kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(
+        self,
+        q_in: jnp.ndarray,  # [B, Q, C]
+        kv_in: jnp.ndarray,  # [B, K, C]
+        bias: Optional[jnp.ndarray] = None,
+        extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        return_kv: bool = False,
+        deterministic: bool = True,
+    ):
+        c = q_in.shape[-1]
+        q = Dense(c, dtype=self.dtype, name="query")(q_in)
+        k = Dense(c, dtype=self.dtype, name="key")(kv_in)
+        v = Dense(c, dtype=self.dtype, name="value")(kv_in)
+        qh, kh, vh = (split_heads(t, self.num_heads) for t in (q, k, v))
+        if extra_kv is not None:
+            ek, ev = extra_kv  # [B, H, E, D] pre-split cached keys/values
+            kh = jnp.concatenate([kh, ek.astype(kh.dtype)], axis=2)
+            vh = jnp.concatenate([vh, ev.astype(vh.dtype)], axis=2)
+        out = dot_product_attention(qh, kh, vh, bias=bias, dtype=self.dtype)
+        out = merge_heads(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        out = Dense(c, dtype=self.dtype, kernel_init=self.out_kernel_init, name="out")(out)
+        if return_kv:
+            return out, (kh, vh)
+        return out
+
+
+class MlpBlock(nn.Module):
+    """Transformer FFN: dense -> act -> dense."""
+
+    intermediate: int
+    activation: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = Dense(self.intermediate, dtype=self.dtype, name="fc1")(x)
+        h = ACT2FN[self.activation](h)
+        return Dense(c, dtype=self.dtype, name="fc2")(h)
+
+
+class PreNormLayer(nn.Module):
+    """Pre-norm transformer layer (AST / CLIP style).
+
+    reference: model/transformer.py:74-85 (AST prenorm) and
+    model/clip.py:194-197 (CLIP residual block; activation differs).
+    """
+
+    num_heads: int
+    intermediate: int
+    activation: str = "gelu"
+    ln_eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln1")(x)
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(h, h, bias)
+        x = x + h
+        h = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln2")(x)
+        h = MlpBlock(self.intermediate, self.activation, dtype=self.dtype, name="mlp")(h)
+        return x + h
+
+
+class PostNormLayer(nn.Module):
+    """Post-norm (BERT) layer without cross-attention."""
+
+    num_heads: int
+    intermediate: int
+    activation: str = "gelu"
+    ln_eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(x, x, bias)
+        x = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln1")(x + h)
+        h = MlpBlock(self.intermediate, self.activation, dtype=self.dtype, name="mlp")(x)
+        return LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln2")(x + h)

@@ -1,0 +1,169 @@
+"""Task losses as pure JAX functions.
+
+Key TPU-native design decision: the reference gathers contrastive features
+across GPUs with a hand-rolled autograd-aware all_gather
+(utils/distributed.py:38-72, applied in model/pretrain.py:278-291).  Here
+the train step is jitted over the **global** batch with inputs sharded over
+the mesh's data axis, so the NxN score matrix below is automatically
+computed with XLA-inserted all-gathers over ICI — differentiable by
+construction, no padding dance, no manual collective.
+
+Losses use masked reductions instead of boolean indexing (dynamic shapes
+don't compile on TPU): `labels == -1` marks ignored positions, mirroring
+the reference convention (model/pretrain.py:441-444 etc.).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# cross entropy over masked positions
+# ---------------------------------------------------------------------------
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray,  # [..., V]
+    labels: jnp.ndarray,  # [...], -1 = ignore
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """Mean CE over positions where labels != -1 (scalar).
+
+    Matches F.cross_entropy(scores[labels!=-1], labels[labels!=-1])
+    (reference: model/pretrain.py:443-444) including the label-smoothing
+    variant (model/pretrain.py:46-61).
+    """
+    vocab = logits.shape[-1]
+    valid = (labels != -1).astype(jnp.float32)
+    safe_labels = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        # KLDiv against (1-eps) one-hot + eps/(V-1) off-target, per reference
+        smooth = label_smoothing / (vocab - 1)
+        confidence = 1.0 - label_smoothing
+        mean_logp = jnp.sum(logp, axis=-1)
+        nll = confidence * nll - smooth * (mean_logp + nll)
+        # note: constant entropy terms of the KL omitted (zero gradient)
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(nll * valid) / denom
+
+
+def qa_weighted_cross_entropy(
+    logits: jnp.ndarray,  # [B, N, V]
+    labels: jnp.ndarray,  # [B, N], -1 = ignore
+    answer_weights: Optional[jnp.ndarray] = None,  # [B]
+    n_questions: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-row mean CE, then weighted sum over tiled answers.
+
+    reference: model/pretrain.py:1279-1290 — per-sequence CE averaged over
+    its valid tokens; with multi-answer tiling the rows are weighted and
+    normalised by the question count.
+    """
+    valid = (labels != -1).astype(jnp.float32)
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    per_row = jnp.sum(nll * valid, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+    if answer_weights is not None:
+        denom = float(n_questions) if n_questions else per_row.shape[0]
+        return jnp.sum(per_row * answer_weights) / denom
+    return jnp.mean(per_row)
+
+
+# ---------------------------------------------------------------------------
+# contrastive
+# ---------------------------------------------------------------------------
+
+
+def contrastive_loss(score_matrix: jnp.ndarray, temp: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional InfoNCE over the diagonal.
+
+    reference: model/modeling.py:418-433 — scores divided by temperature,
+    -log_softmax along both axes, mean of both diagonals.
+    """
+    s = score_matrix.astype(jnp.float32) / temp
+    loss1 = -jnp.diag(jax.nn.log_softmax(s, axis=1))
+    loss2 = -jnp.diag(jax.nn.log_softmax(s, axis=0))
+    return 0.5 * (jnp.mean(loss1) + jnp.mean(loss2))
+
+
+def coarse_score(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
+    """[A, D] x [B, D] -> [A, B] (features pre-normalised)."""
+    return jnp.einsum("ad,bd->ab", feat_a, feat_b, preferred_element_type=jnp.float32)
+
+
+def fine_score(
+    feat_a: jnp.ndarray,  # [A, T, D]
+    feat_b: jnp.ndarray,  # [B, V, D]
+    mask_a: jnp.ndarray,  # [A, T] float {0,1}
+    mask_b: jnp.ndarray,  # [B, V]
+    weight_a: jnp.ndarray,  # [A, T] raw logits
+    weight_b: jnp.ndarray,  # [B, V]
+) -> jnp.ndarray:
+    """Token-wise fine-grained similarity matrix [A, B].
+
+    reference: model/pretrain.py:191-211 — per-token weights softmaxed over
+    valid tokens, full einsum atd,bvd->abtv, masked, max over each side's
+    tokens, then weighted sums averaged.
+    """
+    mask_a = mask_a.astype(jnp.float32)
+    mask_b = mask_b.astype(jnp.float32)
+    wa = jax.nn.softmax(
+        jnp.where(mask_a > 0, weight_a.astype(jnp.float32), NEG_INF), axis=-1
+    )
+    wb = jax.nn.softmax(
+        jnp.where(mask_b > 0, weight_b.astype(jnp.float32), NEG_INF), axis=-1
+    )
+    logits = jnp.einsum(
+        "atd,bvd->abtv", feat_a, feat_b, preferred_element_type=jnp.float32
+    )
+    logits = logits * mask_a[:, None, :, None] * mask_b[None, :, None, :]
+    a2b = jnp.max(logits, axis=-1)  # [A, B, T]
+    b2a = jnp.max(logits, axis=-2)  # [A, B, V]
+    a2b = jnp.einsum("abt,at->ab", a2b, wa)
+    b2a = jnp.einsum("abv,bv->ab", b2a, wb)
+    return 0.5 * (a2b + b2a)
+
+
+def fine_score_chunked(
+    feat_a, feat_b, mask_a, mask_b, weight_a, weight_b, chunk: int = 100
+):
+    """Gallery-sliced fine score for large eval matrices.
+
+    reference: model/pretrain.py:178-189 slices when gallery > 1200 rows to
+    bound the abtv intermediate; here the same chunking over A via lax.map.
+    """
+    a = feat_a.shape[0]
+    pad = (-a) % chunk
+    fa = jnp.pad(feat_a, ((0, pad), (0, 0), (0, 0)))
+    ma = jnp.pad(mask_a, ((0, pad), (0, 0)))
+    wa = jnp.pad(weight_a, ((0, pad), (0, 0)))
+    n_chunks = fa.shape[0] // chunk
+    fa = fa.reshape(n_chunks, chunk, *feat_a.shape[1:])
+    ma = ma.reshape(n_chunks, chunk, mask_a.shape[1])
+    wa = wa.reshape(n_chunks, chunk, weight_a.shape[1])
+
+    def one(args):
+        f, m, w = args
+        return fine_score(f, feat_b, m, mask_b, w, weight_b)
+
+    out = jax.lax.map(one, (fa, ma, wa))
+    return out.reshape(n_chunks * chunk, feat_b.shape[0])[:a]
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def dual_softmax_rescore(score: jnp.ndarray, temp: float = 100.0) -> jnp.ndarray:
+    """Dual-softmax rescoring used at retrieval eval (reference test.py:685-712)."""
+    s = score.astype(jnp.float32)
+    return jax.nn.softmax(s * temp, axis=0) * s
