@@ -1,0 +1,79 @@
+"""Throughput benchmark: VALOR-base pretrain step, samples/sec/chip.
+
+Measures the full fused training step (CLIP-B/16 over 4 frames @224 +
+AST over 1x(64x512) log-mel clip + BERT fusion w/ cross-attn, fine
+contrastive + unimlm caption losses, backward, grad-clip + multi-group
+adamw) on synthetic data — the decode->fwd-bwd metric BASELINE.json
+tracks.
+
+`vs_baseline` compares against the PyTorch+apex reference throughput on
+its 8xGPU rig, estimated at ~30 samples/sec/GPU for VALOR-base pretrain
+(fp16 A100-class; the repo publishes no number — see BASELINE.md).  The
+BASELINE.json target is >3x that per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC_PER_GPU = 30.0
+
+
+def main():
+    from valor_tpu.core.config import TrainConfig
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.models.valor import VALORModel
+    from valor_tpu.train.optimizer import build_optimizer
+    from valor_tpu.train.step import TrainState, make_train_step
+    from __graft_entry__ import _flagship_config, _synthetic_batch
+
+    batch_size = int(__import__("os").environ.get("BENCH_BATCH", 32))
+    cfg = _flagship_config()
+    model = VALORModel(cfg)
+    task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
+    batch = _synthetic_batch(batch=batch_size)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        batch,
+        task,
+        True,
+        True,
+    )["params"]
+    tcfg = TrainConfig(num_train_steps=10000)
+    tx = build_optimizer(params, tcfg)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(2)
+    # warmup / compile
+    state, metrics = train_step(state, batch, rng, task)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 8
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch, rng, task)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    sps = batch_size * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "valor_base_pretrain_samples_per_sec_per_chip",
+                "value": round(sps, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC_PER_GPU, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

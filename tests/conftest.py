@@ -6,8 +6,10 @@ This is the JAX-native "multi-node without a cluster" mechanism
 
 import os
 
-# force-override: the shell env pins JAX_PLATFORMS=axon (single real TPU
-# behind a tunnel); tests must never touch it.
+# The shell env pins JAX_PLATFORMS=axon (one real TPU behind a tunnel) and a
+# sitecustomize hook imports jax at interpreter start, freezing that env into
+# jax's config defaults — so the env var alone cannot redirect tests.  The
+# config update below works as long as no backend has been initialised yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,7 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU platform"
 
 import pytest  # noqa: E402
 

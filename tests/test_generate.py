@@ -1,0 +1,95 @@
+"""Generation tests: greedy / sample / beam on the tiny model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import tiny_model_config
+from tests.test_model import make_batch
+from valor_tpu.core.tasks import parse_task
+from valor_tpu.eval import generate as gen
+from valor_tpu.models.valor import EOS_TOKEN, VALORModel
+
+
+def _setup(cfg, batch, task="cap%tv"):
+    model = VALORModel(cfg)
+    spec = parse_task(task)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        batch,
+        spec,
+        True,
+        True,
+    )
+    return model, variables["params"], spec
+
+
+class TestGenerate:
+    def test_greedy_shapes_and_determinism(self):
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch)
+        out1 = gen.generate(model, params, batch, spec.caption_groups, max_len=5)
+        out2 = gen.generate(model, params, batch, spec.caption_groups, max_len=5)
+        s1 = np.asarray(out1["generated_sequences_tv"])
+        s2 = np.asarray(out2["generated_sequences_tv"])
+        assert s1.shape == (4, 5)
+        np.testing.assert_array_equal(s1, s2)
+        assert s1.dtype == np.int32
+        assert (s1 >= 0).all() and (s1 < cfg.fusion_vocab).all()
+
+    def test_sample_logprobs(self):
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch)
+        out = gen.generate(
+            model, params, batch, spec.caption_groups,
+            max_len=5, mode="sample", rng=jax.random.PRNGKey(7),
+        )
+        lp = np.asarray(out["logprobs_tv"])
+        assert lp.shape == (4, 5)
+        assert (lp <= 0).all()
+
+    def test_eos_latch(self):
+        # after a row emits EOS, everything that follows must be EOS
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch)
+        seqs = np.asarray(
+            gen.generate(model, params, batch, spec.caption_groups, max_len=6)[
+                "generated_sequences_tv"
+            ]
+        )
+        for row in seqs:
+            seen_eos = False
+            for t in row:
+                if seen_eos:
+                    assert t == EOS_TOKEN
+                if t == EOS_TOKEN:
+                    seen_eos = True
+
+    def test_beam(self):
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch)
+        out = gen.generate(
+            model, params, batch, spec.caption_groups, max_len=5, beam_size=3
+        )
+        seqs = np.asarray(out["generated_sequences_tv"])
+        assert seqs.shape == (4, 5)
+
+    def test_lm_mode(self):
+        cfg = tiny_model_config(caption_type="lm")
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch)
+        out = gen.generate(
+            model, params, batch, spec.caption_groups, caption_type="lm", max_len=4
+        )
+        assert np.asarray(out["generated_sequences_tv"]).shape == (4, 4)
+
+    def test_trimodal_generation(self):
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch, "cap%tva")
+        out = gen.generate(model, params, batch, spec.caption_groups, max_len=4)
+        assert "generated_sequences_tva" in out

@@ -1,0 +1,134 @@
+"""Eval metric tests: retrieval ranks, BLEU/CIDEr/ROUGE, QA accuracy, losses."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from valor_tpu.eval.caption_metrics import (
+    CiderScorer,
+    bleu_corpus,
+    bleu_sentence,
+    caption_eval,
+    rouge_l,
+)
+from valor_tpu.eval.retrieval import qa_accuracy, rank_metrics, retrieval_report
+from valor_tpu.tasks import losses as L
+
+
+class TestRetrievalMetrics:
+    def test_perfect_ranking(self):
+        ids = ["a", "b", "c"]
+        score = np.eye(3) * 10 + np.random.RandomState(0).rand(3, 3)
+        m = rank_metrics(score, ids, ids, "t2v")
+        assert m["r1"] == 100.0
+        assert m["medianR"] == 1.0
+
+    def test_report_both_directions(self):
+        ids = ["a", "b", "c", "d"]
+        score = np.eye(4) * 5
+        rep = retrieval_report(score, ids, ids)
+        assert rep["ravg"] == 100.0
+
+    def test_multi_caption_v2t(self):
+        # two captions for 'a'; v2t uses the best-ranked one
+        ids = ["a", "b"]
+        ids_txt = ["a", "a", "b"]
+        score = np.array([[5.0, 0.0], [0.1, 0.2], [0.0, 7.0]])
+        m = rank_metrics(score, ids, ids_txt, "v2t")
+        assert m["r1"] == 100.0
+
+
+class TestCaptionMetrics:
+    def test_bleu_perfect(self):
+        h = [["a", "cat", "sits"]]
+        r = [[["a", "cat", "sits"]]]
+        bleu = bleu_corpus(h, r)
+        np.testing.assert_allclose(bleu[0], 1.0, rtol=1e-6)
+        np.testing.assert_allclose(bleu[3], 1.0, rtol=1e-6)
+
+    def test_bleu_partial(self):
+        h = [["a", "dog"]]
+        r = [[["a", "cat"]]]
+        bleu = bleu_corpus(h, r)
+        assert 0 < bleu[0] < 1
+
+    def test_sentence_bleu_bounds(self):
+        s = bleu_sentence(["a", "cat"], [["a", "cat"]])
+        np.testing.assert_allclose(s, 1.0, rtol=1e-6)
+        assert bleu_sentence(["x"], [["a", "cat"]]) < 0.1
+
+    def test_cider_identical_beats_different(self):
+        hyps = [["a", "cat", "sits"], ["pure", "noise", "words"]]
+        refs = [[["a", "cat", "sits"]], [["a", "cat", "sits"]]]
+        sc = CiderScorer().score(hyps, refs)
+        assert sc[0] > sc[1]
+
+    def test_rouge(self):
+        assert rouge_l([["a", "b", "c"]], [[["a", "b", "c"]]]) == 1.0
+        assert rouge_l([["x"]], [[["a", "b"]]]) == 0.0
+
+    def test_caption_eval_report(self):
+        hyps = {"1": "a cat sits", "2": "the dog runs"}
+        refs = {"1": ["a cat sits", "a cat"], "2": ["the dog runs fast"]}
+        rep = caption_eval(hyps, refs)
+        assert set(rep) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"}
+        assert rep["Bleu_1"] > 0.9
+
+
+class TestQAAccuracy:
+    def test_exact_and_multi(self):
+        assert qa_accuracy(["yes", "no"], ["yes", "yes"]) == 50.0
+        assert qa_accuracy(["blue"], [["red", "blue"]]) == 100.0
+
+
+class TestLosses:
+    def test_masked_ce_ignores(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(2, 3, 5), jnp.float32)
+        labels = jnp.array([[1, -1, 2], [-1, -1, 0]])
+        loss = float(L.masked_cross_entropy(logits, labels))
+        # manual: CE over the 3 valid positions only
+        import jax
+
+        logp = np.asarray(jax.nn.log_softmax(np.asarray(logits), axis=-1))
+        manual = -(logp[0, 0, 1] + logp[0, 2, 2] + logp[1, 2, 0]) / 3
+        np.testing.assert_allclose(loss, manual, rtol=1e-5)
+
+    def test_contrastive_loss_diag(self):
+        s = jnp.eye(4) * 10.0
+        loss = float(L.contrastive_loss(s, jnp.asarray(1.0)))
+        assert loss < 0.01
+        loss_bad = float(L.contrastive_loss(-jnp.eye(4) * 10.0, jnp.asarray(1.0)))
+        assert loss_bad > loss
+
+    def test_fine_score_masking(self):
+        rng = np.random.RandomState(0)
+        fa = jnp.asarray(rng.randn(2, 3, 4), jnp.float32)
+        fb = jnp.asarray(rng.randn(2, 5, 4), jnp.float32)
+        ma = jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.float32)
+        mb = jnp.ones((2, 5), jnp.float32)
+        wa = jnp.zeros((2, 3))
+        wb = jnp.zeros((2, 5))
+        s = L.fine_score(fa, fb, ma, mb, wa, wb)
+        assert s.shape == (2, 2)
+        # masked token must not affect the score: perturb it
+        fa2 = fa.at[0, 2].set(100.0)
+        s2 = L.fine_score(fa2, fb, ma, mb, wa, wb)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-5)
+
+    def test_fine_score_chunked_matches(self):
+        rng = np.random.RandomState(1)
+        fa = jnp.asarray(rng.randn(7, 3, 4), jnp.float32)
+        fb = jnp.asarray(rng.randn(5, 2, 4), jnp.float32)
+        ma = jnp.ones((7, 3), jnp.float32)
+        mb = jnp.ones((5, 2), jnp.float32)
+        wa = jnp.asarray(rng.randn(7, 3), jnp.float32)
+        wb = jnp.asarray(rng.randn(5, 2), jnp.float32)
+        full = L.fine_score(fa, fb, ma, mb, wa, wb)
+        chunked = L.fine_score_chunked(fa, fb, ma, mb, wa, wb, chunk=3)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5)
+
+    def test_qa_weighted(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(4, 3, 5), jnp.float32)
+        labels = jnp.asarray(np.array([[1, 2, -1]] * 4))
+        w = jnp.asarray([0.5, 0.5, 1.0, 1.0])
+        loss = float(L.qa_weighted_cross_entropy(logits, labels, w, n_questions=2))
+        assert np.isfinite(loss)

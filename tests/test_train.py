@@ -1,0 +1,116 @@
+"""Distributed train-step + optimizer tests on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import tiny_model_config
+from tests.test_model import make_batch
+from valor_tpu.core.config import TrainConfig
+from valor_tpu.core.tasks import parse_task
+from valor_tpu.models.valor import VALORModel
+from valor_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from valor_tpu.train.optimizer import build_optimizer, label_params
+from valor_tpu.train.schedule import make_schedule
+from valor_tpu.train.step import TrainState, make_train_step
+
+
+def _init(cfg, batch, task):
+    model = VALORModel(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        batch,
+        task,
+        True,
+        True,
+    )
+    return model, variables["params"]
+
+
+class TestSchedules:
+    def test_warmup_linear(self):
+        # schedule step is 0-based; effective step is +1 (reference 1-based)
+        s = make_schedule("warmup_linear", 1.0, 100, 0.1)
+        np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
+        np.testing.assert_allclose(float(s(9)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(s(54)), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(99)), 0.0, atol=1e-7)
+
+    def test_warmup_cosine(self):
+        s = make_schedule("warmup_cosine", 2.0, 100, 0.1)
+        # mid-warmup ramp; at x >= warmup the cosine branch applies
+        np.testing.assert_allclose(float(s(4)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(s(9)), 2.0 * 0.5 * (1 + np.cos(np.pi * 0.1)), rtol=1e-6
+        )
+        np.testing.assert_allclose(float(s(99)), 0.0, atol=1e-6)
+
+
+class TestOptimizerGroups:
+    def test_labels(self):
+        cfg = tiny_model_config()
+        task = parse_task("ret%tv")
+        batch = make_batch(jax.random.PRNGKey(0))
+        _, params = _init(cfg, batch, task)
+        labels = label_params(params, ["audio_encoder"])
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        joined = {"/".join(str(getattr(k, "key", k)) for k in p): v for p, v in flat}
+        # clip vision params -> clip_visual group
+        vis = [v for k, v in joined.items() if k.startswith("clip_vision")]
+        assert all(v.startswith("clip_visual") for v in vis)
+        txt = [v for k, v in joined.items() if k.startswith("clip_text")]
+        assert all(v.startswith("clip_text") for v in txt)
+        # new_params_name routing
+        aud = [v for k, v in joined.items() if k.startswith("audio_encoder")]
+        assert all(v.startswith("new") for v in aud)
+        # LayerNorm / bias -> no-decay
+        ln = [v for k, v in joined.items() if k.endswith("/scale") or k.endswith("/bias")]
+        assert ln and all(v.endswith("_nd") for v in ln)
+
+    def test_update_changes_params(self):
+        cfg = tiny_model_config()
+        task = parse_task("ret%tv")
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params = _init(cfg, batch, task)
+        tcfg = TrainConfig(num_train_steps=10, learning_rate=1e-2, clip_lr=1e-2, clip_lr_text=1e-2)
+        tx = build_optimizer(params, tcfg)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, donate=False)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(2), task)
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        # at least one param moved
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), params, new_state.params
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+class TestShardedStep:
+    def test_dp_step_on_mesh(self):
+        cfg = tiny_model_config()
+        task = parse_task("pt_contra%tv_caption%tv")
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        model, params = _init(cfg, batch, task)
+        tcfg = TrainConfig(num_train_steps=10)
+        tx = build_optimizer(params, tcfg)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, donate=False)
+
+        mesh = make_mesh(n_data=8)
+        state_r = jax.device_put(state, replicated(mesh))
+        sharded = shard_batch(mesh, batch)
+        new_state, metrics = step(state_r, sharded, jax.random.PRNGKey(2), task)
+        sharded_loss = float(metrics["total_loss"])
+        assert np.isfinite(sharded_loss)
+
+        # numerical agreement with the unsharded step (global-batch semantics)
+        _, metrics1 = step(state, batch, jax.random.PRNGKey(2), task)
+        np.testing.assert_allclose(
+            sharded_loss, float(metrics1["total_loss"]), rtol=2e-4
+        )
+
+    def test_graft_dryrun(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)

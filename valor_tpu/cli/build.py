@@ -1,0 +1,150 @@
+"""Shared builders: config -> tokenizers, datasets, loaders, model, state.
+
+This is the equivalent of the reference's train_utils.py glue
+(create_train_dataloaders :415-516, create_val_dataloaders :519-576,
+set_parallel_optimizer_and_apex :211-243) for the TPU stack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from valor_tpu.core.config import Config, DataFlowConfig, ModelConfig
+from valor_tpu.core.logging import LOGGER
+from valor_tpu.core.tasks import parse_task
+from valor_tpu.data.loader import DataLoader, MetaLoader, ShardedBatchSampler
+from valor_tpu.data.pipeline import AudioMapper, TxtMapper, VALORDataset, VideoMapper, valor_collate
+from valor_tpu.models.valor import VALORModel
+
+DEFAULT_BERT_VOCAB = os.environ.get(
+    "VALOR_BERT_VOCAB", "pretrained_weights/bert-base-uncased-vocab.txt"
+)
+DEFAULT_CLIP_BPE = os.environ.get(
+    "VALOR_CLIP_BPE", "pretrained_weights/bpe_simple_vocab_16e6.txt.gz"
+)
+
+
+def build_tokenizers(cfg: ModelConfig):
+    """(bert_tokenizer | None, clip_tokenizer | None) per encoder types."""
+    bert_tok = clip_tok = None
+    needs_bert = cfg.txt_encoder_type.startswith("bert") or cfg.multimodal_encoder_type.startswith("bert")
+    needs_clip = cfg.txt_encoder_type.startswith("clip") or cfg.multimodal_encoder_type.startswith("clip")
+    if needs_bert:
+        from valor_tpu.data.tokenizers.wordpiece import BertTokenizer
+
+        bert_tok = BertTokenizer(DEFAULT_BERT_VOCAB)
+    if needs_clip:
+        from valor_tpu.data.tokenizers.clip_bpe import ClipBPETokenizer
+
+        clip_tok = ClipBPETokenizer(DEFAULT_CLIP_BPE)
+    return bert_tok, clip_tok
+
+
+def build_dataset(
+    flow: DataFlowConfig, mcfg: ModelConfig, tokenizers, training: bool
+) -> VALORDataset:
+    bert_tok, clip_tok = tokenizers
+    ds = flow.datasets[0]
+    spec = parse_task(flow.task)
+    txt_mapper = (
+        TxtMapper(ds.txt, flow.max_txt_len, bert_tok, clip_tok, training)
+        if ds.txt
+        else None
+    )
+    video_mapper = (
+        VideoMapper(
+            ds.video,
+            resolution=mcfg.video_resolution,
+            sample_num=flow.video_sample_num if ds.datatype.startswith("video") else 1,
+            datatype=ds.datatype,
+            transforms=ds.video_transforms,
+            encoder_type=mcfg.video_encoder_type,
+            training=training,
+        )
+        if ds.video and spec.uses_video
+        else None
+    )
+    audio_mapper = (
+        AudioMapper(
+            ds.audio,
+            sample_num=flow.audio_sample_num,
+            melbins=mcfg.audio_melbins,
+            target_length=mcfg.audio_target_length,
+            frame_shift_ms=mcfg.audio_frame_shift,
+            mean=mcfg.audio_mean,
+            std=mcfg.audio_std,
+            training=training,
+        )
+        if ds.audio and spec.uses_audio
+        else None
+    )
+    return VALORDataset(ds.ids_path, txt_mapper, video_mapper, audio_mapper, training)
+
+
+def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
+    loaders: Dict[str, Tuple[Any, int]] = {}
+    n_hosts = jax.process_count()
+    host = jax.process_index()
+    for i, flow in enumerate(cfg.data_train):
+        dataset = build_dataset(flow, cfg.model, tokenizers, training=True)
+        sampler = ShardedBatchSampler(
+            len(dataset),
+            batch_size=max(flow.batch_size // n_hosts, 1),
+            shard=host,
+            n_shards=n_hosts,
+            shuffle=True,
+            seed=seed,
+        )
+        loader = DataLoader(dataset, sampler, valor_collate, n_workers=1)
+        name = f"{flow.task}--{flow.datasets[0].name or i}"
+        loaders[name] = (loader, max(flow.epoch, 1))
+        LOGGER.info(
+            f"train flow {name}: {len(dataset)} items, batch {flow.batch_size}, ratio {flow.epoch}"
+        )
+    return MetaLoader(
+        loaders,
+        accum_steps=cfg.train.gradient_accumulation_steps,
+        seed=cfg.train.seed,
+        mix_type=cfg.train.dataset_mix_type,
+    )
+
+
+def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, Any]]:
+    out = []
+    for i, flow in enumerate(cfg.data_val):
+        dataset = build_dataset(flow, cfg.model, tokenizers, training=False)
+        sampler = ShardedBatchSampler(
+            len(dataset),
+            batch_size=flow.batch_size,
+            shard=jax.process_index(),
+            n_shards=jax.process_count(),
+            shuffle=False,
+        )
+        loader = DataLoader(dataset, sampler, valor_collate, n_workers=1)
+        name = flow.name or (flow.datasets[0].name if flow.datasets else str(i))
+        out.append((name, loader, parse_task(flow.task)))
+    return out
+
+
+def build_model_and_state(cfg: Config, example_batch: Dict[str, Any]):
+    from valor_tpu.train.optimizer import build_optimizer
+    from valor_tpu.train.step import TrainState
+
+    model = VALORModel(cfg.model)
+    task = parse_task(cfg.data_train[0].task if cfg.data_train else "ret%tv")
+    params = model.init(
+        {"params": jax.random.PRNGKey(cfg.train.seed), "mask": jax.random.PRNGKey(1)},
+        example_batch,
+        task,
+        True,
+        True,
+    )["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
+    tx = build_optimizer(params, cfg.train)
+    state = TrainState.create(params, tx)
+    return model, tx, state

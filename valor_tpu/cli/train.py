@@ -1,0 +1,187 @@
+"""Training entry point.
+
+Usage (mirrors the reference CLI, scripts/*.sh):
+
+    python -m valor_tpu.cli.train --config config/fast-retrieval-msrvtt.json \
+        --output_dir out/ret-msrvtt [--flag value ...]
+
+Any flat config key can be overridden on the command line (CLI wins over
+JSON, JSON over defaults — reference: utils/misc.py:26-36).  Multi-host
+runs call jax.distributed.initialize() when JAX_COORDINATOR_ADDRESS is set;
+everything else is identical on every host (single-program SPMD).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Any, Dict
+
+import jax
+
+from valor_tpu.core.config import Config, config_to_json, load_config
+from valor_tpu.core.logging import LOGGER, TB_LOGGER, add_log_to_file, is_main_process
+from valor_tpu.core.tasks import parse_task
+
+
+def parse_cli(argv=None) -> Config:
+    parser = argparse.ArgumentParser(description="VALOR-TPU trainer")
+    parser.add_argument("--config", type=str, default=None)
+    args, unknown = parser.parse_known_args(argv)
+    overrides: Dict[str, Any] = {}
+    key = None
+    for tok in unknown:
+        if tok.startswith("--"):
+            key = tok[2:]
+            overrides[key] = True  # bare flag
+        elif key is not None:
+            prev = overrides[key]
+            if prev is True:
+                overrides[key] = _parse_value(tok)
+            elif isinstance(prev, list):
+                prev.append(_parse_value(tok))
+            else:
+                overrides[key] = [prev, _parse_value(tok)]
+    return load_config(args.config, overrides)
+
+
+def _parse_value(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    return s
+
+
+def make_validate_fn(cfg: Config, model, tokenizers):
+    from valor_tpu.cli.build import build_val_loaders
+    from valor_tpu.eval import validate as V
+    from valor_tpu.train.step import make_eval_step
+
+    val_loaders = build_val_loaders(cfg, tokenizers)
+    eval_step = make_eval_step(model)
+    bert_tok, _ = tokenizers
+
+    def run(params, step: int):
+        reports = {}
+        for name, loader, task in val_loaders:
+            if task.family == "ret":
+                reports[name] = V.validate_ret(
+                    model, params, eval_step, iter(loader), task,
+                    cfg.model.contra_type, cfg.model.dual_softmax,
+                )
+            elif task.family == "cap":
+                import json as _json
+
+                ann = _json.load(open(cfg.data_val[0].datasets[0].txt))
+                ann = {str(k): v if isinstance(v, list) else [v] for k, v in ann.items()}
+                reports[name] = V.validate_cap(
+                    model, params, iter(loader), task, bert_tok, ann,
+                    caption_type=cfg.model.caption_type,
+                    max_len=cfg.model.max_generation_len,
+                    beam_size=cfg.model.beam_size,
+                )
+            elif task.family == "qa":
+                import json as _json
+
+                ans = _json.load(open(cfg.data_val[0].datasets[0].txt))
+                reports[name] = V.validate_qa(
+                    model, params, iter(loader), task, bert_tok, ans,
+                    caption_type=cfg.model.caption_type,
+                    beam_size=cfg.model.beam_size_qa,
+                )
+        return reports
+
+    return run
+
+
+def main(argv=None):
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    cfg = parse_cli(argv)
+    out_dir = cfg.train.output_dir or "output"
+    if is_main_process():
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "hps.json"), "w") as f:
+            f.write(config_to_json(cfg))
+        add_log_to_file(os.path.join(out_dir, "log", "train.log"))
+        TB_LOGGER.create(os.path.join(out_dir, "tb"))
+
+    from valor_tpu.cli.build import (
+        build_model_and_state,
+        build_tokenizers,
+        build_train_loaders,
+    )
+    from valor_tpu.train.checkpoints import ModelSaver, adapt_pretrained_params
+    from valor_tpu.train.trainer import Trainer
+
+    tokenizers = build_tokenizers(cfg.model)
+    meta = build_train_loaders(cfg, tokenizers, seed=cfg.train.seed)
+    # pull one batch to initialise shapes
+    first_task, first_batch = next(iter(meta))
+    device_batch = {
+        k: v for k, v in first_batch.items() if k not in ("ids", "ids_txt", "sample_num")
+    }
+    model, tx, state = build_model_and_state(cfg, device_batch)
+
+    saver = ModelSaver(out_dir, cfg.train.remove_before_ckpt)
+    if cfg.train.resume:
+        restored = saver.restore(state)
+        if restored:
+            from valor_tpu.train.step import TrainState
+
+            state = TrainState(
+                step=jax.numpy.asarray(restored["step"]),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+            )
+    elif cfg.train.checkpoint or cfg.train.pretrain_dir:
+        import numpy as np
+
+        path = cfg.train.checkpoint
+        if cfg.train.pretrain_dir:
+            sub = ModelSaver(cfg.train.pretrain_dir, remove_before_ckpt=False)
+            restored = sub.restore(state)
+            if restored:
+                params = adapt_pretrained_params(restored["params"], state.params)
+                state = state.replace(params=params)
+        elif path and os.path.exists(path):
+            from valor_tpu.models.convert import load_converted
+
+            params = adapt_pretrained_params(load_converted(path), state.params)
+            state = state.replace(params=params)
+
+    validate_fn = make_validate_fn(cfg, model, tokenizers) if cfg.data_val else None
+    if cfg.train.zero_shot:
+        if validate_fn:
+            reports = validate_fn(state.params, 0)
+            for name, rep in reports.items():
+                LOGGER.info(f"zero-shot {name}: {rep}")
+        return
+    if cfg.train.first_eval and validate_fn:
+        reports = validate_fn(state.params, 0)
+        for name, rep in reports.items():
+            LOGGER.info(f"first-eval {name}: {rep}")
+
+    scorer = None
+    if cfg.model.scst_finetuning:
+        import json as _json
+
+        from valor_tpu.eval.scorer import Scorer
+
+        flow = cfg.data_train[0]
+        ids = _json.load(open(flow.datasets[0].ids_path))
+        scorer = Scorer(flow.datasets[0].txt, ids, tokenizers[0])
+
+    trainer = Trainer(
+        cfg, model, tx, state, meta, validate_fn=validate_fn, saver=saver, scorer=scorer
+    )
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

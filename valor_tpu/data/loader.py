@@ -1,0 +1,177 @@
+"""Multi-dataset mixing, per-host sharding, and device prefetch.
+
+Replaces the reference loader stack (data/loader.py):
+  * MetaLoader (:75-124): per-step random task choice, synchronized across
+    processes.  The reference broadcasts the choice over NCCL
+    (any_broadcast, utils/distributed.py:146); here every host draws from
+    the SAME seeded python Random, so the choice agrees with zero
+    communication — the JAX single-program model makes the collective
+    unnecessary.
+  * AccumMetaLoader (:22-66): deterministic round-robin for grad accum.
+  * DistributedSampler_wopadding (utils/distributed.py:161-189): per-host
+    contiguous shard with drop-tail semantics.
+  * PrefetchLoader (:154-212): CUDA side-stream H2D overlap becomes an
+    async device_put one batch ahead (dispatch is async in JAX; the copy
+    overlaps the running step).
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import queue as queue_mod
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+
+class ShardedBatchSampler:
+    """Contiguous per-host shard, shuffled per epoch, tail dropped so every
+    host sees the same number of full batches."""
+
+    def __init__(
+        self,
+        n_items: int,
+        batch_size: int,
+        shard: int = 0,
+        n_shards: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.n_items = n_items
+        self.batch_size = batch_size
+        self.shard = shard
+        self.n_shards = n_shards
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[List[int]]:
+        order = list(range(self.n_items))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        per_shard = self.n_items // self.n_shards
+        mine = order[self.shard * per_shard : (self.shard + 1) * per_shard]
+        n_batches = len(mine) // self.batch_size if self.shuffle else -(-len(mine) // self.batch_size)
+        for b in range(n_batches):
+            yield mine[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __len__(self) -> int:
+        per_shard = self.n_items // self.n_shards
+        return per_shard // self.batch_size
+
+
+class DataLoader:
+    """Minimal map-style loader: sampler -> dataset -> collate, with an
+    optional background worker thread (the image-decode path releases the
+    GIL inside PIL/numpy, so one worker already overlaps the device step)."""
+
+    def __init__(self, dataset, sampler: ShardedBatchSampler, collate_fn: Callable, n_workers: int = 0):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.collate_fn = collate_fn
+        self.n_workers = n_workers
+
+    def _produce(self) -> Iterator[Any]:
+        for batch_idx in self.sampler:
+            yield self.collate_fn([self.dataset[i] for i in batch_idx])
+
+    def __iter__(self) -> Iterator[Any]:
+        if self.n_workers <= 0:
+            yield from self._produce()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2, self.n_workers))
+        sentinel = object()
+
+        def work():
+            try:
+                for b in self._produce():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                break
+            yield b
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+
+class MetaLoader:
+    """Random task mixing with a shared-seed synchronized choice."""
+
+    def __init__(
+        self,
+        loaders: Dict[str, Tuple[Any, int]],
+        accum_steps: int = 1,
+        seed: int = 0,
+        mix_type: str = "random",  # 'random' | 'accum' (round-robin)
+    ):
+        self.name2loader = {}
+        self.name2iter = {}
+        self.pool: List[str] = []
+        for name, spec in loaders.items():
+            loader, ratio = spec if isinstance(spec, tuple) else (spec, 1)
+            self.name2loader[name] = loader
+            self.name2iter[name] = iter(loader)
+            self.pool.extend([name] * ratio)
+        self.accum_steps = accum_steps
+        self.rng = random.Random(seed)  # same seed on every host
+        self.mix_type = mix_type
+        self.step = 0
+        self.epoch = 0
+        self.names = list(self.name2loader)
+
+    def _next_task(self) -> str:
+        if self.mix_type == "accum":
+            return self.names[(self.step // self.accum_steps) % len(self.names)]
+        if self.step % self.accum_steps == 0:
+            self._task = self.rng.choice(self.pool)
+        return self._task
+
+    def __iter__(self):
+        while True:
+            task = self._next_task()
+            self.step += 1
+            try:
+                batch = next(self.name2iter[task])
+            except StopIteration:
+                self.epoch += 1
+                self.name2loader[task].sampler.set_epoch(self.epoch)
+                self.name2iter[task] = iter(self.name2loader[task])
+                batch = next(self.name2iter[task])
+            yield task, batch
+
+
+class DevicePrefetcher:
+    """Keep one device batch in flight (PrefetchLoader equivalent)."""
+
+    def __init__(self, it: Iterator, put_fn: Callable[[Any], Any]):
+        self.it = iter(it)
+        self.put = put_fn
+        self._next = None
+        self._advance()
+
+    def _advance(self):
+        try:
+            item = next(self.it)
+        except StopIteration:
+            self._next = None
+            return
+        if isinstance(item, tuple):
+            task, batch = item
+            self._next = (task, self.put(batch))
+        else:
+            self._next = self.put(item)
+
+    def __iter__(self):
+        while self._next is not None:
+            out = self._next
+            self._advance()  # dispatch the next H2D while caller computes
+            yield out

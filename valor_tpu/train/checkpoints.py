@@ -1,0 +1,182 @@
+"""Checkpointing: orbax save/restore + load-time surgery.
+
+Replaces the reference's ModelSaver + resume + pretrain-dir inheritance
+(utils/save.py:32-64, train_utils.py:117-192):
+  * save model+optimizer every eval interval, delete the previous one
+    unless keep-all, track best_{metric} per task,
+  * resume: find the latest step in output_dir,
+  * pretrain-dir load with checkpoint surgery: CLIP visual pos-emb
+    bilinear resize for a new resolution (train_utils.py:153-168,
+    model/clip.py:481-491) and frame-embedding row extension by copying
+    the last trained row (train_utils.py:148-151).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from valor_tpu.core.logging import LOGGER
+
+
+def _ckpt_dir(output_dir: str, step: int) -> str:
+    return os.path.join(output_dir, "ckpt", f"step_{step}")
+
+
+class ModelSaver:
+    def __init__(self, output_dir: str, remove_before_ckpt: bool = True):
+        self.output_dir = output_dir
+        self.remove_before = remove_before_ckpt
+        self.last_step: Optional[int] = None
+        os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
+        if _HAS_ORBAX:
+            self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, state, step: int, best_name: Optional[str] = None) -> None:
+        path = os.path.abspath(_ckpt_dir(self.output_dir, step))
+        payload = {"params": state.params, "opt_state": state.opt_state, "step": step}
+        if _HAS_ORBAX:
+            self._ckptr.save(path, payload, force=True)
+            self._ckptr.wait_until_finished()
+        else:  # flat-numpy fallback
+            os.makedirs(path, exist_ok=True)
+            flat = jax.tree_util.tree_map(np.asarray, payload)
+            np.save(os.path.join(path, "state.npy"), flat, allow_pickle=True)
+        if best_name:
+            best_path = os.path.join(self.output_dir, "ckpt", f"best_{best_name}")
+            if os.path.exists(best_path):
+                shutil.rmtree(best_path)
+            shutil.copytree(path, best_path)
+        if self.remove_before and self.last_step is not None:
+            prev = _ckpt_dir(self.output_dir, self.last_step)
+            if os.path.exists(prev):
+                shutil.rmtree(prev)
+        self.last_step = step
+
+    def latest_step(self) -> Optional[int]:
+        root = os.path.join(self.output_dir, "ckpt")
+        if not os.path.isdir(root):
+            return None
+        steps = [
+            int(m.group(1))
+            for d in os.listdir(root)
+            if (m := re.match(r"step_(\d+)$", d))
+        ]
+        return max(steps) if steps else None
+
+    def restore(self, state, step: Optional[int] = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        path = os.path.abspath(_ckpt_dir(self.output_dir, step))
+        payload = {"params": state.params, "opt_state": state.opt_state, "step": 0}
+        if _HAS_ORBAX:
+            restored = self._ckptr.restore(path, payload)
+        else:
+            restored = np.load(os.path.join(path, "state.npy"), allow_pickle=True).item()
+        LOGGER.info(f"restored checkpoint at step {step}")
+        return restored
+
+
+# ---------------------------------------------------------------------------
+# checkpoint surgery
+# ---------------------------------------------------------------------------
+
+
+def bilinear_resize_pos_embed(pos: np.ndarray, new_grid: int, has_cls: bool = True) -> np.ndarray:
+    """[(1+)g*g, C] -> [(1+)G*G, C] bilinear over the spatial grid
+    (reference: model/clip.py:481-491, modeling.py:520-527)."""
+    pos = np.asarray(pos, np.float32)
+    cls = pos[:1] if has_cls else None
+    grid_part = pos[1:] if has_cls else pos
+    g = int(round(len(grid_part) ** 0.5))
+    c = grid_part.shape[-1]
+    img = grid_part.reshape(g, g, c)
+    resized = np.asarray(
+        jax.image.resize(jnp.asarray(img), (new_grid, new_grid, c), method="bilinear")
+    )
+    out = resized.reshape(new_grid * new_grid, c)
+    return np.concatenate([cls, out], axis=0) if has_cls else out
+
+
+def bilinear_resize_pos_embed_2d(
+    pos: np.ndarray, src_hw, dst_hw, has_cls: bool = True
+) -> np.ndarray:
+    """Non-square variant for the AST pos-emb remap (modeling.py:520-527)."""
+    pos = np.asarray(pos, np.float32)
+    cls = pos[:1] if has_cls else None
+    grid = pos[1:] if has_cls else pos
+    c = grid.shape[-1]
+    img = grid.reshape(src_hw[0], src_hw[1], c)
+    resized = np.asarray(
+        jax.image.resize(jnp.asarray(img), (dst_hw[0], dst_hw[1], c), method="bilinear")
+    )
+    out = resized.reshape(dst_hw[0] * dst_hw[1], c)
+    return np.concatenate([cls, out], axis=0) if has_cls else out
+
+
+def extend_frame_embedding(frame_emb: np.ndarray, n_needed: int) -> np.ndarray:
+    """Copy the last trained row into rows beyond the pretrain frame count
+    (reference: train_utils.py:148-151)."""
+    fe = np.asarray(frame_emb)
+    n_have = fe.shape[1]
+    if n_needed <= n_have:
+        return fe
+    pad = np.repeat(fe[:, -1:], n_needed - n_have, axis=1)
+    return np.concatenate([fe, pad], axis=1)
+
+
+def adapt_pretrained_params(
+    params: Dict[str, Any],
+    target_params: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Shape-adapt a loaded param tree onto the target's shapes: pos-emb
+    resize for clip vision + ast, frame-emb extension; everything else is
+    taken verbatim when shapes match, target-initialised otherwise
+    (strict=False load semantics, modeling.py:107-115)."""
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_dst, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    out = []
+    missing, mismatched = [], []
+    for path, dst in flat_dst:
+        src = flat_src.get(path)
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        if src is None:
+            missing.append(key)
+            out.append(dst)
+            continue
+        src = np.asarray(src)
+        if src.shape == dst.shape:
+            out.append(jnp.asarray(src, dst.dtype))
+        elif "positional_embedding" in key and src.ndim == 2 and "clip_vision" in key:
+            out.append(
+                jnp.asarray(
+                    bilinear_resize_pos_embed(src, int(round((dst.shape[0] - 1) ** 0.5))),
+                    dst.dtype,
+                )
+            )
+        elif "frame_embedding" in key and src.ndim == 3:
+            out.append(jnp.asarray(extend_frame_embedding(src, dst.shape[1]), dst.dtype))
+        else:
+            mismatched.append(f"{key}: {src.shape} -> {dst.shape}")
+            out.append(dst)
+    if missing:
+        LOGGER.info(f"missing keys (target-init): {missing[:20]}{'...' if len(missing) > 20 else ''}")
+    if mismatched:
+        LOGGER.info(f"shape-mismatched keys (target-init): {mismatched}")
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target_params), out
+    )

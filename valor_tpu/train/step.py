@@ -1,0 +1,87 @@
+"""Jitted train/eval steps over a device mesh.
+
+Replaces the reference's hot loop body (train_utils.py:277-363: forward ->
+amp backward w/ DDP allreduce -> lr set -> clip -> step) with a single
+compiled function per (task, batch-shape) pair:
+
+  * the step jits over the **global** batch; inputs carry a
+    NamedSharding over the mesh's `data` axis, so XLA shards the
+    per-sample encoder work and inserts ICI collectives for the NxN
+    contrastive matrix and the gradient reduction,
+  * grad clipping + multi-group adamw are inside the same compiled step,
+  * loss-dict values are summed for the backward pass exactly like the
+    reference (train_utils.py:309-314) and returned for metering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from valor_tpu.core.tasks import TaskSpec
+from valor_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(model, tx, donate: bool = True):
+    """Returns train_step(state, batch, rng, task) -> (state, metrics).
+
+    `task` is static (hashable TaskSpec); one executable per task+shape.
+    """
+
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, rng, task: TaskSpec):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch, task, True, True, rngs={"mask": rng}
+            )
+            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Feature-extraction / loss-free forward, jitted per task."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def eval_step(params, batch, task: TaskSpec):
+        return model.apply({"params": params}, batch, task, False, False)
+
+    return eval_step
+
+
+def shard_train_inputs(mesh, state: TrainState, batch):
+    """Place state replicated and batch sharded over the data axis."""
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    from valor_tpu.parallel.mesh import shard_batch
+
+    return state, shard_batch(mesh, batch)

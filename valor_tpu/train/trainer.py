@@ -1,0 +1,181 @@
+"""Training orchestration: the conduct_train loop, TPU-native.
+
+reference: train_utils.py:277-398 — infinite meta-loader loop, loss sum,
+backward, LR ratio, clip, step, periodic validate + best-checkpoint save.
+Here the inner work is one compiled function per (task, shape); the Python
+loop only moves host batches and bookkeeping.
+
+SCST finetuning (reference: model/pretrain.py:741-791) runs as a
+three-phase step: device greedy rollout (baseline) -> device sampled
+rollout -> host CIDEr+BLEU reward -> device REINFORCE loss/grad step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valor_tpu.core.config import Config
+from valor_tpu.core.logging import LOGGER, RunningMeter, TB_LOGGER
+from valor_tpu.core.tasks import TaskSpec, parse_task
+from valor_tpu.eval.scorer import AdaptiveAlpha, Scorer
+from valor_tpu.models.valor import EOS_TOKEN, VALORModel
+from valor_tpu.train.step import TrainState, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        model: VALORModel,
+        tx,
+        state: TrainState,
+        meta_loader,
+        *,
+        validate_fn: Optional[Callable[[Any, int], Dict[str, Dict[str, float]]]] = None,
+        saver=None,
+        scorer: Optional[Scorer] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.tx = tx
+        self.state = state
+        self.meta_loader = meta_loader
+        self.validate_fn = validate_fn
+        self.saver = saver
+        self.train_step = make_train_step(model, tx)
+        self.meters: Dict[str, RunningMeter] = {}
+        self.best: Dict[str, float] = {}
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.scorer = scorer
+        self.alpha = AdaptiveAlpha()
+        self._task_cache: Dict[str, TaskSpec] = {}
+
+    def _meter(self, name: str) -> RunningMeter:
+        if name not in self.meters:
+            self.meters[name] = RunningMeter(name)
+        return self.meters[name]
+
+    def _spec(self, task: str) -> TaskSpec:
+        if task not in self._task_cache:
+            self._task_cache[task] = parse_task(task)
+        return self._task_cache[task]
+
+    def run(self) -> TrainState:
+        t = self.cfg.train
+        step = int(self.state.step)
+        t_start = time.time()
+        for name_task, batch in self.meta_loader:
+            task_name, batch_task = name_task, batch
+            if isinstance(name_task, tuple):
+                task_name, batch_task = name_task
+            spec = self._spec(task_name.split("--")[0])
+            # strip host-only metadata before the device step
+            device_batch = {
+                k: v
+                for k, v in batch_task.items()
+                if k not in ("ids", "ids_txt", "sample_num")
+            }
+            if self.cfg.model.scst_finetuning and spec.family == "cap":
+                metrics = self.scst_step(device_batch, batch_task.get("ids"), spec)
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, device_batch, self.rng, spec
+                )
+            step += 1
+            for k, v in metrics.items():
+                self._meter(f"{task_name}/{k}")(float(v))
+            if step % 100 == 0:
+                elapsed = time.time() - t_start
+                ms = {k: m.val for k, m in self.meters.items() if m.val is not None}
+                LOGGER.info(
+                    f"step {step}/{t.num_train_steps} ({step / max(elapsed, 1e-9):.2f} it/s) "
+                    + " ".join(f"{k}={v:.4f}" for k, v in ms.items())
+                )
+                TB_LOGGER.set_step(step)
+                TB_LOGGER.log_scalar_dict(ms)
+            if t.valid_steps and step % t.valid_steps == 0:
+                self.evaluate_and_save(step)
+            if step >= t.num_train_steps:
+                break
+        self.evaluate_and_save(step)
+        return self.state
+
+    def evaluate_and_save(self, step: int) -> None:
+        best_name = None
+        if self.validate_fn is not None:
+            reports = self.validate_fn(self.state.params, step)
+            for val_name, report in reports.items():
+                LOGGER.info(f"eval {val_name} @ {step}: {report}")
+                for metric in ("ravg", "CIDEr", "accuracy"):
+                    if metric in report:
+                        key = f"{val_name}/{metric}"
+                        if report[metric] > self.best.get(key, -1e9):
+                            self.best[key] = report[metric]
+                            if self.cfg.train.save_best:
+                                best_name = val_name
+        if self.saver is not None:
+            self.saver.save(self.state, step, best_name=best_name)
+
+    # ------------------------------------------------------------------
+    # SCST
+    # ------------------------------------------------------------------
+    def scst_step(self, batch, ids, spec: TaskSpec) -> Dict[str, float]:
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.tasks.scst import make_scst_step
+
+        assert self.scorer is not None, "SCST needs a Scorer over train annotations"
+        c = self.cfg.model
+        params = self.state.params
+        # encode media once into fusion space (forward_cap eval path)
+        enc = self.model.apply({"params": params}, batch, spec, False, False)
+        video_input, audio_input = enc.get("video_input"), enc.get("audio_input")
+        prompt = batch.get("prompt_tokens_caption")
+        bsz = (video_input if video_input is not None else audio_input).shape[0]
+        self.rng, sub = jax.random.split(self.rng)
+        metrics: Dict[str, float] = {}
+        if not hasattr(self, "_scst_steps"):
+            self._scst_steps = {}
+        for g in spec.caption_groups:
+            v = video_input if "v" in g else None
+            a = audio_input if "a" in g else None
+            dec = gen.make_fusion_decoder(self.model, params, prompt, v, a)
+            seq_g, _ = gen.greedy_or_sample(
+                dec, bsz, c.max_generation_len, c.caption_type, "greedy"
+            )
+            seq_s, _ = gen.greedy_or_sample(
+                dec, bsz, c.max_generation_len, c.caption_type, "sample", sub
+            )
+            seq_g, seq_s = np.asarray(seq_g), seq_s
+            r_greedy = self.scorer(ids, [_strip(s) for s in seq_g])
+            r_sample = self.scorer(ids, [_strip(s) for s in np.asarray(seq_s)])
+            self.alpha.update(r_sample, r_greedy)
+            rewards = jnp.asarray(r_sample - r_greedy * self.alpha.value())
+            if g not in self._scst_steps:
+                self._scst_steps[g] = make_scst_step(
+                    self.model, self.tx, c.caption_type, g
+                )
+            scst_batch = {
+                "video_input": v,
+                "audio_input": a,
+                "prompt_tokens_caption": prompt,
+            }
+            self.state, m = self._scst_steps[g](
+                self.state, scst_batch, jnp.asarray(seq_s), rewards
+            )
+            metrics[f"scst_reward_{g}"] = float(np.mean(r_sample))
+            metrics[f"caption_loss_{g}"] = float(m["loss"])
+        return metrics
+
+
+def _strip(seq: np.ndarray) -> list:
+    out = []
+    for t in seq.tolist():
+        if t == EOS_TOKEN:
+            break
+        out.append(int(t))
+    return out
