@@ -26,7 +26,7 @@ TINY_VOCAB = (
     ["[PAD]"]
     + [f"[unused{i}]" for i in range(99)]
     + ["[UNK]", "[CLS]", "[SEP]", "[MASK]", "[unused99]", "[unused100]"]
-    + ["a", "cat", "sits", "on", "the", "mat", "dog", "runs", "##s", "##ting", "sit"]
+    + ["a", "cat", "on", "the", "mat", "dog", "runs", "##s", "##ting", "sit", ",", "!"]
 )
 
 

@@ -57,10 +57,16 @@ class TestCaptionMetrics:
         assert bleu_sentence(["x"], [["a", "cat"]]) < 0.1
 
     def test_cider_identical_beats_different(self):
+        # corpus needs idf variety: identical refs across all docs give
+        # zero idf weights (correct CIDEr behaviour on degenerate corpora)
         hyps = [["a", "cat", "sits"], ["pure", "noise", "words"]]
-        refs = [[["a", "cat", "sits"]], [["a", "cat", "sits"]]]
+        refs = [
+            [["a", "cat", "sits"]],
+            [["the", "dog", "runs"]],
+        ]
         sc = CiderScorer().score(hyps, refs)
         assert sc[0] > sc[1]
+        assert sc[0] > 0
 
     def test_rouge(self):
         assert rouge_l([["a", "b", "c"]], [[["a", "b", "c"]]]) == 1.0
@@ -71,7 +77,8 @@ class TestCaptionMetrics:
         refs = {"1": ["a cat sits", "a cat"], "2": ["the dog runs fast"]}
         rep = caption_eval(hyps, refs)
         assert set(rep) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"}
-        assert rep["Bleu_1"] > 0.9
+        # brevity penalty applies (hyp2 shorter than its ref)
+        assert rep["Bleu_1"] > 0.8
 
 
 class TestQAAccuracy:

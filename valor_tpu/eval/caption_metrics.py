@@ -74,7 +74,9 @@ def bleu_corpus(
     out = []
     logsum = 0.0
     for n in range(max_n):
-        p = matches[n] / totals[n] if totals[n] else 0.0
+        # no n-grams at this order (all hyps shorter than n): treat the
+        # precision as exact rather than zero, keeping perfect-match == 1.0
+        p = matches[n] / totals[n] if totals[n] else 1.0
         logsum += math.log(max(p, 1e-16))
         out.append(bp * math.exp(logsum / (n + 1)))
     return out
@@ -86,7 +88,12 @@ def bleu_sentence(hyp: List[str], refs: List[List[str]], max_n: int = 4) -> floa
     bp = 1.0 if hl > rl else math.exp(1 - rl / max(hl, 1))
     logsum = 0.0
     for n, (m, t) in enumerate(stats):
-        p = (m + (1.0 if n > 0 else 0.0)) / (t + (1.0 if n > 0 else 0.0)) if t else 1e-16
+        if t == 0:
+            p = 1.0  # no n-grams of this order exist in the hypothesis
+        elif n > 0:
+            p = (m + 1.0) / (t + 1.0)  # add-1 smoothing on higher orders
+        else:
+            p = m / t if m else 1e-16
         logsum += math.log(max(p, 1e-16))
     return bp * math.exp(logsum / max_n)
 
