@@ -108,6 +108,21 @@ class Embed(nn.Module):
         return jnp.dot(x, table.T.astype(x.dtype))
 
 
+# trace-time attention implementation switch: "einsum" (XLA fuses well on
+# its own) or "flash" (Pallas block kernel on TPU; see ops/pallas/attention).
+_ATTENTION_IMPL = "einsum"
+
+
+def set_attention_impl(name: str) -> None:
+    global _ATTENTION_IMPL
+    assert name in ("einsum", "flash"), name
+    _ATTENTION_IMPL = name
+
+
+def get_attention_impl() -> str:
+    return _ATTENTION_IMPL
+
+
 def dot_product_attention(
     q: jnp.ndarray,  # [B, H, Q, D]
     k: jnp.ndarray,  # [B, H, K, D]
@@ -121,6 +136,11 @@ def dot_product_attention(
     clip's nn.MultiheadAttention / transformer.MultiHeadAttention
     (reference: model/bert.py:244-340, model/transformer.py:106-130).
     """
+    if _ATTENTION_IMPL == "flash":
+        from valor_tpu.ops.pallas.attention import flash_attention, flash_eligible
+
+        if flash_eligible(q, k):
+            return flash_attention(q, k, v, bias=bias, dtype=dtype)
     depth = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(depth)

@@ -39,6 +39,7 @@ def mask_tokens(
     random_prob: float = 0.1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (masked_tokens, labels) with labels == -1 on unmasked slots."""
+    tokens = jnp.asarray(tokens)
     b, n = tokens.shape
     r_ind, r_force, r_act, r_rand = jax.random.split(rng, 4)
 
@@ -90,6 +91,7 @@ def full_mask(
 
 def lm_shift_labels(tokens: jnp.ndarray) -> jnp.ndarray:
     """Next-token labels for 'lm' caption mode (model/pretrain.py:429-434)."""
+    tokens = jnp.asarray(tokens)
     labels = jnp.zeros_like(tokens)
     labels = labels.at[:, :-1].set(tokens[:, 1:])
     return jnp.where(labels == 0, -1, labels)
