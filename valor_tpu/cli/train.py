@@ -94,6 +94,10 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                     caption_type=cfg.model.caption_type,
                     beam_size=cfg.model.beam_size_qa,
                 )
+            elif task.family == "pt":
+                reports[name] = V.validate_pt(
+                    model, params, eval_step, iter(loader), task, cfg.model.contra_type
+                )
         return reports
 
     return run

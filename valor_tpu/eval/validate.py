@@ -155,6 +155,62 @@ def validate_qa(
     return {"accuracy": qa_accuracy(preds, gts)}
 
 
+def validate_pt(
+    model, params, eval_step, loader, task: TaskSpec, contra_type: str = "fine"
+) -> Dict[str, float]:
+    """Pretrain proxy metrics (reference: test.py:415-665): token-level
+    caption/mlm accuracy on masked positions + retrieval recall on the val
+    shard when a contra objective is present."""
+    cap_hit = cap_tot = mlm_hit = mlm_tot = 0
+    feats_all: Dict[str, List] = {"feat_t": [], "feat_v": [], "feat_a": [], "txt_tokens": []}
+    ids: List = []
+    ids_txt: List = []
+    for batch in loader:
+        host_ids = batch.pop("ids", None)
+        host_ids_txt = batch.pop("ids_txt", None)
+        batch.pop("sample_num", None)
+        out = eval_step(params, batch, task)
+        for g in task.caption_groups:
+            key = f"caption_scores_{g}"
+            if key in out:
+                pred = np.asarray(out[key]).argmax(-1)
+                lab = np.asarray(out["txt_labels_caption"])
+                m = lab != -1
+                cap_hit += int((pred[m] == lab[m]).sum())
+                cap_tot += int(m.sum())
+        for g in task.mlm_groups:
+            key = f"mlm_scores_{g}"
+            if key in out:
+                pred = np.asarray(out[key]).argmax(-1)
+                lab = np.asarray(out["txt_labels_mlm"])
+                m = lab != -1
+                mlm_hit += int((pred[m] == lab[m]).sum())
+                mlm_tot += int(m.sum())
+        if task.contra_groups:
+            for k in ("feat_t", "feat_v", "feat_a", "txt_tokens"):
+                if out.get(k) is not None:
+                    feats_all[k].append(np.asarray(out[k]))
+            if host_ids is not None:
+                ids.extend(host_ids)
+            if host_ids_txt is not None:
+                ids_txt.extend(host_ids_txt)
+    report: Dict[str, float] = {}
+    if cap_tot:
+        report["caption_token_acc"] = round(100.0 * cap_hit / cap_tot, 2)
+    if mlm_tot:
+        report["mlm_token_acc"] = round(100.0 * mlm_hit / mlm_tot, 2)
+    if task.contra_groups and feats_all["feat_t"]:
+        feats = {
+            k: jnp.asarray(np.concatenate(v)) if v else None
+            for k, v in feats_all.items()
+        }
+        g = task.contra_groups[0]
+        score = retrieval_scores(model, params, feats, g, contra_type)
+        r = retrieval_report(score, ids, ids_txt or ids)
+        report[f"contra_recall_{g}"] = r["t2v_r1"]
+    return report
+
+
 def decode_sequence(tokenizer, seq: np.ndarray, eos: int = 102) -> str:
     """ids -> sentence, stopping at EOS, merging wordpieces
     (reference: model/pretrain.py:146-163)."""

@@ -494,15 +494,24 @@ class VALORModel(nn.Module):
 
         if task.caption_groups:
             txt_input, txt_labels = self.caption_inputs(txt_tokens, train)
-            ls = [
-                self.group_caption_loss(
-                    g, txt_input, txt_labels, batch.get("prompt_tokens_caption"),
-                    video_input, audio_input,
+            ls = []
+            for g in task.caption_groups:
+                v = video_input if "v" in g else None
+                a = audio_input if "a" in g else None
+                logits = self.fusion_logits(
+                    txt_input, batch.get("prompt_tokens_caption"), v, a,
+                    causal=True, full_masker=self.cfg.full_masker,
                 )
-                for g in task.caption_groups
-            ]
+                if compute_loss:
+                    ls.append(
+                        L.masked_cross_entropy(logits, txt_labels, self.cfg.label_smoothing)
+                    )
+                else:
+                    out[f"caption_scores_{g}"] = logits
             if compute_loss:
                 out["caption_loss"] = sum(ls) / len(ls)
+            else:
+                out["txt_labels_caption"] = txt_labels
 
         if task.mlm_groups:
             rng = self.make_rng("mask")
@@ -514,9 +523,14 @@ class VALORModel(nn.Module):
                 logits = self.fusion_logits(
                     txt_input, batch.get("prompt_tokens_mlm"), v, a, causal=False
                 )
-                ls.append(L.masked_cross_entropy(logits, txt_labels))
+                if compute_loss:
+                    ls.append(L.masked_cross_entropy(logits, txt_labels))
+                else:
+                    out[f"mlm_scores_{g}"] = logits
             if compute_loss:
                 out["mlm_loss"] = sum(ls) / len(ls)
+            else:
+                out["txt_labels_mlm"] = txt_labels
         return out
 
     def forward_ret(self, batch, task: TaskSpec, compute_loss=True):

@@ -73,7 +73,11 @@ def make_eval_step(model):
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def eval_step(params, batch, task: TaskSpec):
-        return model.apply({"params": params}, batch, task, False, False)
+        # fixed mask rng: pretrain proxy eval masks tokens deterministically
+        return model.apply(
+            {"params": params}, batch, task, False, False,
+            rngs={"mask": jax.random.PRNGKey(0)},
+        )
 
     return eval_step
 
