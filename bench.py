@@ -15,11 +15,19 @@ BASELINE.json target is >3x that per chip.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: remote TPU compiles take minutes; repeat
+# bench runs (and the driver's run) hit the cache instead.
+_CACHE_DIR = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_SAMPLES_PER_SEC_PER_GPU = 30.0
 

@@ -145,6 +145,11 @@ def build_model_and_state(cfg: Config, example_batch: Dict[str, Any]):
     )["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
-    tx = build_optimizer(params, cfg.train)
+    tx = build_optimizer(
+        params,
+        cfg.train,
+        frozen_vision=cfg.model.frozen_vision,
+        frozen_multimodal=cfg.model.frozen_multimodal,
+    )
     state = TrainState.create(params, tx)
     return model, tx, state

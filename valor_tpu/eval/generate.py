@@ -174,7 +174,21 @@ def make_fusion_decoder(
     audio_input: Optional[jnp.ndarray],
     full_masker: bool = False,
 ) -> DecoderFn:
-    """Bind fixed media/prompt inputs into a DecoderFn over the text buffer."""
+    """Bind fixed media/prompt inputs into a DecoderFn over the text buffer.
+
+    When the fusion encoder cross-attends to media, the per-layer cross K/V
+    are projected ONCE here and reused by every decode step — the reference
+    re-projects ~1k media tokens x 12 layers at every step because its
+    cache is unusable under cross-attention (model/pretrain.py:884-895).
+    """
+    cross_kv = None
+    if model.cfg.multimodal_use_cross_attn and (
+        video_input is not None or audio_input is not None
+    ):
+        cross_kv = model.apply(
+            {"params": params}, video_input, audio_input, method=model.fusion_cross_kv
+        )
+        video_input = audio_input = None  # media now live in the cache
 
     def decoder(tokens, token_mask):
         return model.apply(
@@ -186,6 +200,7 @@ def make_fusion_decoder(
             True,  # causal
             full_masker,
             token_mask,
+            cross_kv,
             method=model.fusion_logits,
         )
 

@@ -98,53 +98,108 @@ class _ResidualAttn(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, kv, bias=None):
-        h = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(x, kv, bias)
-        return LayerNorm(eps=1e-12, dtype=self.dtype, name="ln")(x + h)
+    def setup(self):
+        self.attn = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")
+        self.ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="ln")
+
+    def __call__(self, x, kv, bias=None, extra_kv=None):
+        h = self.attn(x, kv, bias, extra_kv=extra_kv)
+        return self.ln(x + h)
+
+    def compute_kv(self, mem):
+        return self.attn.compute_kv(mem)
 
 
 class BertFusionLayer(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.self_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, name="self_attn")
+        if c.has_cross_attn:
+            if c.cross_attn_type == "va_concate":
+                self.cross_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn")
+            else:
+                self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")
+                self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")
+        self.mlp = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")
+        self.out_ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="out_ln")
+
+    def compute_cross_kv(self, video_feat, audio_feat):
+        """Per-layer cross-attention K/V cache for decode (one projection of
+        the ~1k media tokens per rollout instead of per step — the reference
+        cannot cache at all here, model/pretrain.py:884-895)."""
+        c = self.cfg
+        out = {}
+        if not c.has_cross_attn:
+            return out
+        if c.cross_attn_type == "va_concate":
+            mem = [f for f in (video_feat, audio_feat) if f is not None]
+            if mem:
+                mem = jnp.concatenate(mem, axis=1) if len(mem) > 1 else mem[0]
+                out["cross_attn"] = self.cross_attn.compute_kv(mem.astype(self.dtype))
+        else:
+            if video_feat is not None:
+                out["cross_attn_v"] = self.cross_attn_v.compute_kv(video_feat.astype(self.dtype))
+            if audio_feat is not None:
+                out["cross_attn_a"] = self.cross_attn_a.compute_kv(audio_feat.astype(self.dtype))
+        return out
+
     def __call__(
         self,
         x: jnp.ndarray,
         bias: Optional[jnp.ndarray],
         video_feat: Optional[jnp.ndarray],
         audio_feat: Optional[jnp.ndarray],
+        cross_kv: Optional[dict] = None,
     ) -> jnp.ndarray:
         c = self.cfg
-        x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="self_attn")(x, x, bias)
-        if c.has_cross_attn and (video_feat is not None or audio_feat is not None):
+        x = self.self_attn(x, x, bias)
+        has_media = (
+            video_feat is not None
+            or audio_feat is not None
+            or (cross_kv is not None and cross_kv)
+        )
+        if c.has_cross_attn and has_media:
             t = c.cross_attn_type
-            if t == "va_concate":
+            if cross_kv:
+                if t == "va_concate":
+                    x = self.cross_attn(x, None, extra_kv=cross_kv["cross_attn"])
+                elif t == "va_parallel":
+                    parts = []
+                    if "cross_attn_v" in cross_kv:
+                        parts.append(self.cross_attn_v(x, None, extra_kv=cross_kv["cross_attn_v"]))
+                    if "cross_attn_a" in cross_kv:
+                        parts.append(self.cross_attn_a(x, None, extra_kv=cross_kv["cross_attn_a"]))
+                    x = sum(parts) if len(parts) > 1 else parts[0]
+                else:
+                    order = ("v", "a") if t == "video_audio" else ("a", "v")
+                    for mod in order:
+                        key = f"cross_attn_{mod}"
+                        if key in cross_kv:
+                            x = getattr(self, key)(x, None, extra_kv=cross_kv[key])
+            elif t == "va_concate":
                 mem = [f for f in (video_feat, audio_feat) if f is not None]
                 mem = jnp.concatenate(mem, axis=1) if len(mem) > 1 else mem[0]
-                x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn")(x, mem)
+                x = self.cross_attn(x, mem)
             elif t == "va_parallel":
                 if video_feat is not None and audio_feat is not None:
-                    xv = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")(x, video_feat)
-                    xa = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")(x, audio_feat)
-                    x = xv + xa
+                    x = self.cross_attn_v(x, video_feat) + self.cross_attn_a(x, audio_feat)
                 elif video_feat is not None:
-                    x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")(x, video_feat)
+                    x = self.cross_attn_v(x, video_feat)
                 else:
-                    x = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")(x, audio_feat)
+                    x = self.cross_attn_a(x, audio_feat)
             elif t in ("video_audio", "audio_video"):
                 order = ("v", "a") if t == "video_audio" else ("a", "v")
                 for mod in order:
                     feat = video_feat if mod == "v" else audio_feat
                     if feat is not None:
-                        x = _ResidualAttn(
-                            c.num_heads, dtype=self.dtype, name=f"cross_attn_{mod}"
-                        )(x, feat)
+                        x = getattr(self, f"cross_attn_{mod}")(x, feat)
             else:
                 raise ValueError(f"unknown cross_attn_type {t!r}")
-        h = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")(x)
-        return LayerNorm(eps=1e-12, dtype=self.dtype, name="out_ln")(x + h)
+        h = self.mlp(x)
+        return self.out_ln(x + h)
 
 
 class BertFusionEncoder(nn.Module):
@@ -168,6 +223,10 @@ class BertFusionEncoder(nn.Module):
         """Word-embedding table for tied-weight decoding (modeling.py:241)."""
         return self.embeddings.word_embeddings
 
+    def precompute_cross_kv(self, video_feat, audio_feat):
+        """Per-layer cross-attention K/V for the decode fast path."""
+        return [layer.compute_cross_kv(video_feat, audio_feat) for layer in self.layers]
+
     def __call__(
         self,
         tokens: Optional[jnp.ndarray],  # [B, N] int or None
@@ -177,6 +236,7 @@ class BertFusionEncoder(nn.Module):
         causal: bool = False,
         full_masker: bool = False,
         token_mask: Optional[jnp.ndarray] = None,  # override (tokens != 0)
+        cross_kv_list: Optional[list] = None,  # per-layer decode K/V cache
     ) -> jnp.ndarray:
         c = self.cfg
         feats = []
@@ -213,8 +273,9 @@ class BertFusionEncoder(nn.Module):
         cross_v = video_feat.astype(self.dtype) if (c.has_cross_attn and video_feat is not None) else None
         cross_a = audio_feat.astype(self.dtype) if (c.has_cross_attn and audio_feat is not None) else None
 
-        for layer in self.layers:
-            x = layer(x, bias, cross_v, cross_a)
+        for i, layer in enumerate(self.layers):
+            kv = cross_kv_list[i] if cross_kv_list is not None else None
+            x = layer(x, bias, cross_v, cross_a, cross_kv=kv)
         return x
 
 

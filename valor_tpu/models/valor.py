@@ -412,6 +412,7 @@ class VALORModel(nn.Module):
         causal: bool,
         full_masker: bool = False,
         token_mask: Optional[jnp.ndarray] = None,
+        cross_kv_list: Optional[list] = None,
     ) -> jnp.ndarray:
         """Run fusion encoder and score all text positions. [B, N, V]."""
         out = self.multimodal_encoder(
@@ -422,10 +423,19 @@ class VALORModel(nn.Module):
             causal=causal,
             full_masker=full_masker,
             token_mask=token_mask,
+            cross_kv_list=cross_kv_list,
         )
         text_out = out[:, : txt_tokens.shape[1]]
         table = self._bert_embedding_table()
         return self.cls_head(text_out, table)
+
+    def fusion_cross_kv(
+        self,
+        video_input: Optional[jnp.ndarray],
+        audio_input: Optional[jnp.ndarray],
+    ) -> list:
+        """Precompute per-layer cross-attention K/V for decoding."""
+        return self.multimodal_encoder.precompute_cross_kv(video_input, audio_input)
 
     def caption_inputs(self, txt_tokens: jnp.ndarray, train: bool):
         """(masked tokens, labels) for the caption objective."""

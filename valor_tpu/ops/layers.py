@@ -161,6 +161,25 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+class _LazyDense(nn.Module):
+    """Dense whose width defaults to the input's last dim (features=0)."""
+
+    features: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feats = self.features or x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], feats), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention with optional additive bias and KV cache.
 
@@ -175,35 +194,58 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     dropout: float = 0.0
+    features: int = 0  # 0 -> infer from first input
     out_kernel_init: Callable = nn.initializers.normal(stddev=0.02)
 
-    @nn.compact
+    def setup(self):
+        feats = self.features
+        # setup-style so K/V projection is reusable for cache precompute
+        self.query = _LazyDense(feats, dtype=self.dtype, name="query")
+        self.key = _LazyDense(feats, dtype=self.dtype, name="key")
+        self.value = _LazyDense(feats, dtype=self.dtype, name="value")
+        self.out = _LazyDense(
+            feats, dtype=self.dtype, kernel_init=self.out_kernel_init, name="out"
+        )
+        if self.dropout > 0.0:
+            self.drop = nn.Dropout(self.dropout)
+
     def __call__(
         self,
         q_in: jnp.ndarray,  # [B, Q, C]
-        kv_in: jnp.ndarray,  # [B, K, C]
+        kv_in: Optional[jnp.ndarray],  # [B, K, C] or None (cache-only)
         bias: Optional[jnp.ndarray] = None,
         extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         return_kv: bool = False,
         deterministic: bool = True,
     ):
-        c = q_in.shape[-1]
-        q = Dense(c, dtype=self.dtype, name="query")(q_in)
-        k = Dense(c, dtype=self.dtype, name="key")(kv_in)
-        v = Dense(c, dtype=self.dtype, name="value")(kv_in)
-        qh, kh, vh = (split_heads(t, self.num_heads) for t in (q, k, v))
-        if extra_kv is not None:
-            ek, ev = extra_kv  # [B, H, E, D] pre-split cached keys/values
-            kh = jnp.concatenate([kh, ek.astype(kh.dtype)], axis=2)
-            vh = jnp.concatenate([vh, ev.astype(vh.dtype)], axis=2)
+        qh = split_heads(self.query(q_in), self.num_heads)
+        if kv_in is not None:
+            kh = split_heads(self.key(kv_in), self.num_heads)
+            vh = split_heads(self.value(kv_in), self.num_heads)
+            if extra_kv is not None:
+                ek, ev = extra_kv  # [B, H, E, D] pre-split cached keys/values
+                kh = jnp.concatenate([kh, ek.astype(kh.dtype)], axis=2)
+                vh = jnp.concatenate([vh, ev.astype(vh.dtype)], axis=2)
+        else:
+            # cache-only attention: keys/values entirely from the cache
+            # (decode path: cross-attn K/V precomputed once per rollout)
+            assert extra_kv is not None
+            kh, vh = (t.astype(qh.dtype) for t in extra_kv)
         out = dot_product_attention(qh, kh, vh, bias=bias, dtype=self.dtype)
         out = merge_heads(out)
         if self.dropout > 0.0 and not deterministic:
-            out = nn.Dropout(self.dropout, deterministic=False)(out)
-        out = Dense(c, dtype=self.dtype, kernel_init=self.out_kernel_init, name="out")(out)
+            out = self.drop(out, deterministic=False)
+        out = self.out(out)
         if return_kv:
             return out, (kh, vh)
         return out
+
+    def compute_kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project and split K/V for caching (no attention)."""
+        return (
+            split_heads(self.key(kv_in), self.num_heads),
+            split_heads(self.value(kv_in), self.num_heads),
+        )
 
 
 class MlpBlock(nn.Module):

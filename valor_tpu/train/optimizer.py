@@ -51,9 +51,30 @@ def is_no_decay(path_str: str) -> bool:
     return last in ("bias", "scale") or last.endswith("_bias")
 
 
-def label_params(params, new_params_name: Sequence[str]):
+def is_frozen(path_str: str, frozen_vision: bool, frozen_multimodal: bool) -> bool:
+    """Frozen-parameter predicates (reference: modeling.py:319-322 vision,
+    :675-682 multimodal-except-cross-attn + cls head)."""
+    p = path_str
+    if frozen_vision and ("clip_vision" in p or p.startswith("video_encoder")):
+        return True
+    if frozen_multimodal:
+        if p.startswith("cls_head"):
+            return True
+        if p.startswith("multimodal_encoder") and "cross" not in p:
+            return True
+    return False
+
+
+def label_params(
+    params,
+    new_params_name: Sequence[str],
+    frozen_vision: bool = False,
+    frozen_multimodal: bool = False,
+):
     def lbl(path, _):
         p = _path_str(path)
+        if is_frozen(p, frozen_vision, frozen_multimodal):
+            return "frozen"
         g = param_group(p, new_params_name)
         d = "nd" if is_no_decay(p) else "wd"
         return f"{g}_{d}"
@@ -61,7 +82,12 @@ def label_params(params, new_params_name: Sequence[str]):
     return jax.tree_util.tree_map_with_path(lbl, params)
 
 
-def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
+def build_optimizer(
+    params,
+    cfg: TrainConfig,
+    frozen_vision: bool = False,
+    frozen_multimodal: bool = False,
+) -> optax.GradientTransformation:
     decoder_lr = cfg.decoder_lr if cfg.decoder_lr != -1 else cfg.learning_rate
     group_lr = {
         "basic": cfg.learning_rate,
@@ -87,8 +113,9 @@ def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
     for g in group_lr:
         transforms[f"{g}_wd"] = adamw_for(g, True)
         transforms[f"{g}_nd"] = adamw_for(g, False)
+    transforms["frozen"] = optax.set_to_zero()
 
-    labels = label_params(params, cfg.new_params_name)
+    labels = label_params(params, cfg.new_params_name, frozen_vision, frozen_multimodal)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
         optax.multi_transform(transforms, labels),
