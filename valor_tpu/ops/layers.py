@@ -52,12 +52,18 @@ class LayerNorm(nn.Module):
 
     eps: float = 1e-12
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False  # route through the fused Pallas kernel
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if self.use_pallas and dim % 128 == 0:
+            from valor_tpu.ops.pallas.layernorm import fused_layernorm
+
+            y = fused_layernorm(x, scale, bias, self.eps)
+            return y.astype(self.dtype)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
