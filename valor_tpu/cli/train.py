@@ -73,6 +73,7 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                 reports[name] = V.validate_ret(
                     model, params, eval_step, iter(loader), task,
                     cfg.model.contra_type, cfg.model.dual_softmax,
+                    cfg.model.evaluate_ret_text,
                 )
             elif task.family == "cap":
                 import json as _json

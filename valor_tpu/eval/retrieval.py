@@ -1,11 +1,18 @@
-"""Retrieval evaluation: score matrix -> R@K / median / mean ranks.
+"""Retrieval evaluation: score matrix -> recall / median / mean ranks.
 
-reference: test.py:249-318 (validate_ret) + test.py:714-775
-(compute_metric_ret) + dual-softmax rescoring (test.py:685-712).
+reference: test.py:249-318 (validate_ret) + test.py:685-775
+(compute_metric_ret + dual-softmax rescoring).  Conventions reproduced:
 
-The score matrix is computed on device (fine or coarse, fp32 accumulate);
-ranking happens in numpy on host — it's O(n^2 log n) on a few thousand
-items, irrelevant next to the encoder time.
+  * the primary ("forward") direction ranks the gallery per text query;
+    `forward_ravg` = (R1+R5+R10)/3 over the forward direction only,
+  * the backward (gallery -> best text) direction is reported only when
+    `evaluate_ret_text` is set (test.py:740-766),
+  * dual-softmax rescoring multiplies the score matrix by a
+    temperature-scaled softmax over the opposing axis times its length
+    (test.py:685-712), using the model's contrastive temperature.
+
+The score matrix is computed on device (fp32); ranking happens in numpy on
+host — O(n^2 log n) on a few thousand items, irrelevant next to encoding.
 """
 
 from __future__ import annotations
@@ -14,63 +21,89 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from valor_tpu.tasks import losses as L
+
+def dual_softmax_forward(score: np.ndarray, temp: float) -> np.ndarray:
+    s = np.asarray(score, np.float64)
+    e = np.exp((s - s.max(axis=0, keepdims=True)) / temp)
+    return np.asarray(s * (e / e.sum(axis=0, keepdims=True)) * s.shape[0], np.float32)
 
 
-def rank_metrics(
-    score: np.ndarray,  # [n_txt, n_gallery] similarity, higher = better
-    ids: Sequence,  # gallery ids, len n_gallery
-    ids_txt: Sequence,  # per-text ground-truth gallery id, len n_txt
-    direction: str = "t2v",
-) -> Dict[str, float]:
-    score = np.asarray(score, np.float32)
-    n_txt, n_gal = score.shape
+def dual_softmax_backward(score: np.ndarray, temp: float) -> np.ndarray:
+    s = np.asarray(score, np.float64)
+    e = np.exp((s - s.max(axis=1, keepdims=True)) / temp)
+    return np.asarray(s * (e / e.sum(axis=1, keepdims=True)) * s.shape[1], np.float32)
+
+
+def _forward_ranks(score: np.ndarray, ids: Sequence, ids_txt: Sequence) -> np.ndarray:
     gal_index = {g: i for i, g in enumerate(ids)}
+    order = np.argsort(-score, axis=1)
+    ranks = np.empty(score.shape[0], np.int64)
+    for t in range(score.shape[0]):
+        correct = gal_index[ids_txt[t]]
+        ranks[t] = int(np.where(order[t] == correct)[0][0])
+    return ranks
 
-    if direction == "t2v":
-        order = np.argsort(-score, axis=1)
-        ranks = np.empty(n_txt, np.int64)
-        for t in range(n_txt):
-            correct = gal_index[ids_txt[t]]
-            ranks[t] = int(np.where(order[t] == correct)[0][0])
-    else:  # v2t: best text rank per gallery item
-        order = np.argsort(-score, axis=0)  # per-gallery ranking of texts
-        ranks_list: List[int] = []
-        for g in range(n_gal):
-            txts = [t for t in range(n_txt) if ids_txt[t] == ids[g]]
-            if not txts:
-                continue
-            pos = {t: r for r, t in enumerate(order[:, g])}
-            ranks_list.append(min(pos[t] for t in txts))
-        ranks = np.asarray(ranks_list, np.int64)
 
-    n = len(ranks)
+def _backward_ranks(score: np.ndarray, ids: Sequence, ids_txt: Sequence) -> np.ndarray:
+    order = np.argsort(-score, axis=0)  # rank texts per gallery item
+    ranks: List[int] = []
+    for g, gid in enumerate(ids):
+        gt = [t for t, tid in enumerate(ids_txt) if tid == gid]
+        if not gt:
+            continue
+        pos = {t: r for r, t in enumerate(order[:, g])}
+        ranks.append(min(pos[t] for t in gt))
+    return np.asarray(ranks, np.int64)
+
+
+def _stats(ranks: np.ndarray, prefix: str) -> Dict[str, float]:
+    n = max(len(ranks), 1)
+    r1 = 100.0 * float((ranks < 1).sum()) / n
+    r5 = 100.0 * float((ranks < 5).sum()) / n
+    r10 = 100.0 * float((ranks < 10).sum()) / n
     return {
-        "r1": round(100.0 * float((ranks < 1).sum()) / n, 1),
-        "r5": round(100.0 * float((ranks < 5).sum()) / n, 1),
-        "r10": round(100.0 * float((ranks < 10).sum()) / n, 1),
-        "medianR": float(np.median(ranks) + 1),
-        "meanR": float(ranks.mean() + 1),
+        f"{prefix}_r1": round(r1, 1),
+        f"{prefix}_r5": round(r5, 1),
+        f"{prefix}_r10": round(r10, 1),
+        f"{prefix}_ravg": round((r1 + r5 + r10) / 3, 1),
+        f"{prefix}_medianR": float(np.median(ranks) + 1),
+        f"{prefix}_meanR": float(ranks.mean() + 1),
     }
 
 
 def retrieval_report(
-    score_t2v: np.ndarray,
+    score: np.ndarray,  # [n_txt, n_gallery]
     ids: Sequence,
     ids_txt: Sequence,
     dual_softmax: bool = False,
+    temp: float = 0.07,
+    evaluate_ret_text: bool = False,
 ) -> Dict[str, float]:
-    """Both directions + ravg, with optional dual-softmax rescoring."""
-    if dual_softmax:
-        score_t2v = np.asarray(L.dual_softmax_rescore(score_t2v))
-    fwd = rank_metrics(score_t2v, ids, ids_txt, "t2v")
-    bwd = rank_metrics(score_t2v, ids, ids_txt, "v2t")
-    out = {f"t2v_{k}": v for k, v in fwd.items()}
-    out.update({f"v2t_{k}": v for k, v in bwd.items()})
-    out["ravg"] = round(
-        (fwd["r1"] + fwd["r5"] + fwd["r10"] + bwd["r1"] + bwd["r5"] + bwd["r10"]) / 6, 1
-    )
+    score = np.asarray(score, np.float32)
+    fwd_score = dual_softmax_forward(score, temp) if dual_softmax else score
+    out = _stats(_forward_ranks(fwd_score, ids, ids_txt), "forward")
+    out["ravg"] = out["forward_ravg"]
+    if evaluate_ret_text:
+        bwd_score = dual_softmax_backward(score, temp) if dual_softmax else score
+        out.update(_stats(_backward_ranks(bwd_score, ids, ids_txt), "backward"))
     return out
+
+
+# kept for symmetric reporting / tests
+def rank_metrics(score, ids, ids_txt, direction="t2v") -> Dict[str, float]:
+    score = np.asarray(score, np.float32)
+    if direction == "t2v":
+        ranks = _forward_ranks(score, ids, ids_txt)
+    else:
+        ranks = _backward_ranks(score, ids, ids_txt)
+    s = _stats(ranks, "x")
+    return {
+        "r1": s["x_r1"],
+        "r5": s["x_r5"],
+        "r10": s["x_r10"],
+        "medianR": s["x_medianR"],
+        "meanR": s["x_meanR"],
+    }
 
 
 def qa_accuracy(predictions: Sequence[str], answers: Sequence) -> float:

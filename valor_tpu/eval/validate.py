@@ -75,7 +75,7 @@ def retrieval_scores(
 
 def validate_ret(
     model, params, eval_step, loader, task: TaskSpec, contra_type: str,
-    dual_softmax: bool = False,
+    dual_softmax: bool = False, evaluate_ret_text: bool = False,
 ) -> Dict[str, float]:
     feats_all: Dict[str, List] = {"feat_t": [], "feat_v": [], "feat_a": [], "txt_tokens": []}
     ids: List = []
@@ -95,10 +95,15 @@ def validate_ret(
     feats = {
         k: jnp.asarray(np.concatenate(v)) if v else None for k, v in feats_all.items()
     }
+    temp = float(
+        model.apply({"params": params}, method=lambda m: m.temperature())
+    )
     report: Dict[str, float] = {}
     for g in task.contra_groups:
         score = retrieval_scores(model, params, feats, g, contra_type)
-        r = retrieval_report(score, ids, ids_txt or ids, dual_softmax)
+        r = retrieval_report(
+            score, ids, ids_txt or ids, dual_softmax, temp, evaluate_ret_text
+        )
         report.update({f"{g}_{k}": v for k, v in r.items()})
     if task.contra_groups:
         first = task.contra_groups[0]
@@ -207,7 +212,7 @@ def validate_pt(
         g = task.contra_groups[0]
         score = retrieval_scores(model, params, feats, g, contra_type)
         r = retrieval_report(score, ids, ids_txt or ids)
-        report[f"contra_recall_{g}"] = r["t2v_r1"]
+        report[f"contra_recall_{g}"] = r["forward_r1"]
     return report
 
 
