@@ -38,7 +38,8 @@ def extract_frames_and_wav(video_path: str, out_dir: str, fps: int = 1) -> None:
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--video_path", required=True)
+    parser.add_argument("--video_path", default=None)
+    parser.add_argument("--image_path", default=None)
     parser.add_argument("--task", default="cap%tva")
     parser.add_argument("--question", default=None)
     parser.add_argument("--config", default=None)
@@ -63,25 +64,41 @@ def main(argv=None):
     tokenizers = build_tokenizers(cfg.model)
     bert_tok, _ = tokenizers
 
-    with tempfile.TemporaryDirectory() as tmp:
-        extract_frames_and_wav(args.video_path, tmp)
+    if args.image_path:
         vm = VideoMapper(
-            os.path.join(tmp),
+            os.path.dirname(os.path.abspath(args.image_path)) or ".",
             resolution=cfg.model.video_resolution,
-            sample_num=args.video_sample_num,
-            datatype="video",
+            sample_num=1,
+            datatype="image",
             encoder_type=cfg.model.video_encoder_type,
             training=False,
         )
-        video = vm["frames"]
-        am = AudioMapper(
-            tmp,
-            sample_num=args.audio_sample_num,
-            melbins=cfg.model.audio_melbins,
-            target_length=cfg.model.audio_target_length,
-            training=False,
+        video = vm[os.path.basename(args.image_path)]
+        audio = np.zeros(
+            (args.audio_sample_num, cfg.model.audio_melbins, cfg.model.audio_target_length),
+            np.float32,
         )
-        audio = am["audio"]
+    else:
+        assert args.video_path, "--video_path or --image_path required"
+        with tempfile.TemporaryDirectory() as tmp:
+            extract_frames_and_wav(args.video_path, tmp)
+            vm = VideoMapper(
+                os.path.join(tmp),
+                resolution=cfg.model.video_resolution,
+                sample_num=args.video_sample_num,
+                datatype="video",
+                encoder_type=cfg.model.video_encoder_type,
+                training=False,
+            )
+            video = vm["frames"]
+            am = AudioMapper(
+                tmp,
+                sample_num=args.audio_sample_num,
+                melbins=cfg.model.audio_melbins,
+                target_length=cfg.model.audio_target_length,
+                training=False,
+            )
+            audio = am["audio"]
 
     batch = {
         "video_pixels": video[None].astype(np.float32),

@@ -122,7 +122,12 @@ def validate_cap(
     caption_type: str = "unimlm",
     max_len: int = 30,
     beam_size: int = 1,
+    result_dir: Optional[str] = None,
+    step: int = 0,
+    submit_format: Optional[str] = None,  # 'coco' | 'nocaps' | 'vatex'
 ) -> Dict[str, float]:
+    """Caption eval; optionally dump per-step results / leaderboard
+    submission files (reference: test.py:136-236)."""
     hyps: Dict[str, str] = {}
     for batch in loader:
         ids = batch.pop("ids")
@@ -135,6 +140,30 @@ def validate_cap(
         seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
         for id_, seq in zip(ids, seqs):
             hyps[str(id_)] = decode_sequence(tokenizer, seq)
+    if result_dir:
+        import json
+        import os
+
+        os.makedirs(result_dir, exist_ok=True)
+        if submit_format == "coco":
+            payload = [
+                {"image_id": int(str(i).split("_")[-1]), "caption": c}
+                for i, c in hyps.items()
+            ]
+            path = os.path.join(result_dir, "submission.json")
+        elif submit_format == "nocaps":
+            payload = [{"image_id": int(i), "caption": c} for i, c in hyps.items()]
+            path = os.path.join(result_dir, "submission.json")
+        elif submit_format == "vatex":
+            payload = dict(hyps)
+            path = os.path.join(result_dir, "submission.json")
+        else:
+            payload = [{"video_id": i, "caption": c} for i, c in hyps.items()]
+            path = os.path.join(result_dir, f"step_{step}.json")
+        with open(path, "w") as f:
+            json.dump(payload, f)
+    if submit_format:
+        return {}
     refs = {str(i): annotations[str(i)] for i in hyps}
     return caption_eval(hyps, refs)
 
