@@ -93,3 +93,24 @@ class TestGenerate:
         model, params, spec = _setup(cfg, batch, "cap%tva")
         out = gen.generate(model, params, batch, spec.caption_groups, max_len=4)
         assert "generated_sequences_tva" in out
+
+    def test_cross_kv_cache_matches_uncached(self):
+        """decode via the precomputed cross-KV cache must equal the direct
+        cross-attention forward on the same prefix."""
+        cfg = tiny_model_config()
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch, "cap%tva")
+        video_output = model.apply({"params": params}, batch["video_pixels"], method=model.encode_video)
+        video_input = model.apply({"params": params}, video_output, method=model.video_fusion_input)
+        tokens = batch["bert_tokens"][:, :5]
+        mask = (tokens != 0).astype(jnp.float32)
+        direct = model.apply(
+            {"params": params}, tokens, None, video_input, None, True, False, mask,
+            method=model.fusion_logits,
+        )
+        kv = model.apply({"params": params}, video_input, None, method=model.fusion_cross_kv)
+        cached = model.apply(
+            {"params": params}, tokens, None, None, None, True, False, mask, kv,
+            method=model.fusion_logits,
+        )
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), rtol=2e-5, atol=2e-5)

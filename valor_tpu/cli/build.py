@@ -50,11 +50,16 @@ def build_dataset(
     bert_tok, clip_tok = tokenizers
     ds = flow.datasets[0]
     spec = parse_task(flow.task)
-    txt_mapper = (
-        TxtMapper(ds.txt, flow.max_txt_len, bert_tok, clip_tok, training)
-        if ds.txt
-        else None
-    )
+    if spec.family == "qa":
+        from valor_tpu.data.vqa import QATxtMapper
+
+        txt_mapper = QATxtMapper(ds.txt, flow.max_txt_len, bert_tok, clip_tok, training)
+    else:
+        txt_mapper = (
+            TxtMapper(ds.txt, flow.max_txt_len, bert_tok, clip_tok, training)
+            if ds.txt
+            else None
+        )
     video_mapper = (
         VideoMapper(
             ds.video,
@@ -82,7 +87,20 @@ def build_dataset(
         if ds.audio and spec.uses_audio
         else None
     )
+    if spec.family == "qa":
+        from valor_tpu.data.vqa import VALORQADataset
+
+        return VALORQADataset(ds.ids_path, txt_mapper, video_mapper, audio_mapper, training)
     return VALORDataset(ds.ids_path, txt_mapper, video_mapper, audio_mapper, training)
+
+
+def collate_for(task: str, training: bool):
+    spec = parse_task(task)
+    if spec.family == "qa":
+        from valor_tpu.data.vqa import valorqa_collate_test, valorqa_collate_train
+
+        return valorqa_collate_train if training else valorqa_collate_test
+    return valor_collate
 
 
 def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
@@ -99,7 +117,7 @@ def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
             shuffle=True,
             seed=seed,
         )
-        loader = DataLoader(dataset, sampler, valor_collate, n_workers=1)
+        loader = DataLoader(dataset, sampler, collate_for(flow.task, True), n_workers=1)
         name = f"{flow.task}--{flow.datasets[0].name or i}"
         loaders[name] = (loader, max(flow.epoch, 1))
         LOGGER.info(
@@ -124,7 +142,7 @@ def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, An
             n_shards=jax.process_count(),
             shuffle=False,
         )
-        loader = DataLoader(dataset, sampler, valor_collate, n_workers=1)
+        loader = DataLoader(dataset, sampler, collate_for(flow.task, False), n_workers=1)
         name = flow.name or (flow.datasets[0].name if flow.datasets else str(i))
         out.append((name, loader, parse_task(flow.task)))
     return out

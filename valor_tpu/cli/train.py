@@ -62,13 +62,16 @@ def make_validate_fn(cfg: Config, model, tokenizers):
     from valor_tpu.eval import validate as V
     from valor_tpu.train.step import make_eval_step
 
+    import json as _json
+
     val_loaders = build_val_loaders(cfg, tokenizers)
     eval_step = make_eval_step(model)
     bert_tok, _ = tokenizers
+    out_dir = cfg.train.output_dir or "output"
 
     def run(params, step: int):
         reports = {}
-        for name, loader, task in val_loaders:
+        for (name, loader, task), flow in zip(val_loaders, cfg.data_val):
             if task.family == "ret":
                 reports[name] = V.validate_ret(
                     model, params, eval_step, iter(loader), task,
@@ -76,20 +79,18 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                     cfg.model.evaluate_ret_text,
                 )
             elif task.family == "cap":
-                import json as _json
-
-                ann = _json.load(open(cfg.data_val[0].datasets[0].txt))
+                ann = _json.load(open(flow.datasets[0].txt))
                 ann = {str(k): v if isinstance(v, list) else [v] for k, v in ann.items()}
                 reports[name] = V.validate_cap(
                     model, params, iter(loader), task, bert_tok, ann,
                     caption_type=cfg.model.caption_type,
                     max_len=cfg.model.max_generation_len,
                     beam_size=cfg.model.beam_size,
+                    result_dir=os.path.join(out_dir, f"results_test_{name}"),
+                    step=step,
                 )
             elif task.family == "qa":
-                import json as _json
-
-                ans = _json.load(open(cfg.data_val[0].datasets[0].txt))
+                ans = _json.load(open(flow.datasets[0].txt))
                 reports[name] = V.validate_qa(
                     model, params, iter(loader), task, bert_tok, ans,
                     caption_type=cfg.model.caption_type,

@@ -169,13 +169,19 @@ def validate_cap(
 
 
 def validate_qa(
-    model, params, loader, task: TaskSpec, tokenizer, answers: Dict[str, Any],
+    model, params, loader, task: TaskSpec, tokenizer,
+    answers: Optional[Dict[str, Any]] = None,
     *, caption_type: str = "unimlm", max_len: int = 10, beam_size: int = 1,
 ) -> Dict[str, float]:
+    """QA exact-match accuracy.  Ground-truth answers ride the batch when
+    the QA collate is used (data/vqa.py valorqa_collate_test); the
+    ``answers`` dict is a fallback for plain collates."""
     preds: List[str] = []
     gts: List[Any] = []
     for batch in loader:
         ids = batch.pop("ids")
+        batch_answers = batch.pop("answers", None)
+        batch.pop("question_ids", None)
         batch.pop("ids_txt", None)
         batch.pop("sample_num", None)
         out = gen.generate(
@@ -183,9 +189,12 @@ def validate_qa(
             caption_type=caption_type, max_len=max_len, beam_size=beam_size,
         )
         seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
-        for id_, seq in zip(ids, seqs):
+        for j, seq in enumerate(seqs):
             preds.append(decode_sequence(tokenizer, seq))
-            gts.append(answers[str(id_)])
+            if batch_answers is not None:
+                gts.append(batch_answers[j])
+            else:
+                gts.append(answers[str(ids[min(j, len(ids) - 1)])])
     return {"accuracy": qa_accuracy(preds, gts)}
 
 
