@@ -1,25 +1,31 @@
-"""Multi-group AdamW via optax.
+"""Multi-group AdamW via optax — single-pass, TPU-friendly.
 
 Replaces the reference's 5x2 param-group optimizer (optim/misc.py:13-100):
 five LR groups (basic / new / clip-visual / clip-text / decoder) crossed
 with decay vs no-decay (bias + LayerNorm params), each with its own
-schedule-scaled LR.  On TPU the whole fused update chain (global-norm clip
--> adamw moments -> weight decay -> lr scale) compiles into a handful of
-fused XLA kernels — the role apex's multi_tensor kernels played on GPU
-(SURVEY.md §2.2).
+schedule-scaled LR, plus frozen-parameter masks.
+
+Implementation note (measured on the v5e): optax.multi_transform's N-way
+masked partition multiplies the optimizer-state pytree by the number of
+groups (thousands of leaves), which made each update step dominated by
+per-buffer dispatch overhead (13 s/step).  Instead this builds ONE adamw
+pass over one tree: scale_by_adam -> per-leaf weight decay mask -> per-leaf
+schedule-scaled LR from a static label tree.  Mathematically identical
+(adam moments are per-leaf independent), with the whole fused update chain
+compiling to a handful of XLA kernels — the role apex's multi_tensor
+kernels played on GPU (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Callable, Dict, NamedTuple, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from valor_tpu.core.config import TrainConfig
 from valor_tpu.train.schedule import make_schedule
-
-NO_DECAY_SUFFIXES = ("bias", "scale")  # our LayerNorm params are scale/bias
 
 
 def _path_str(path) -> str:
@@ -27,11 +33,7 @@ def _path_str(path) -> str:
 
 
 def param_group(path_str: str, new_params_name: Sequence[str]) -> str:
-    """Group name for a parameter path (reference: optim/misc.py:33-64).
-
-    clip params split visual/text; 'decoder' head params; user-listed new
-    params; everything else basic.
-    """
+    """Group name for a parameter path (reference: optim/misc.py:33-64)."""
     p = path_str
     if "clip" in p and ("vision" in p or "visual" in p):
         return "clip_visual"
@@ -45,9 +47,9 @@ def param_group(path_str: str, new_params_name: Sequence[str]) -> str:
 
 
 def is_no_decay(path_str: str) -> bool:
+    """biases + LayerNorm scale/bias, following the reference convention
+    ['bias','LayerNorm.bias','LayerNorm.weight'] (optim/misc.py:14)."""
     last = path_str.rsplit("/", 1)[-1]
-    # biases, LN scale/bias, and bare embeddings-like 1D params follow the
-    # reference convention ['bias','LayerNorm.bias','LayerNorm.weight']
     return last in ("bias", "scale") or last.endswith("_bias")
 
 
@@ -82,6 +84,40 @@ def label_params(
     return jax.tree_util.tree_map_with_path(lbl, params)
 
 
+class GroupLRState(NamedTuple):
+    count: jnp.ndarray
+
+
+def scale_by_group_schedules(
+    labels, schedules: Dict[str, Callable], weight_decay: float
+) -> optax.GradientTransformation:
+    """Per-leaf: updates = -lr_label(step) * (adam_update + wd_label * param).
+
+    `labels` is a static tree of group strings aligned with the param tree;
+    `schedules` maps group -> lr schedule.  Frozen leaves get lr 0.
+    """
+
+    def init(params):
+        del params
+        return GroupLRState(count=jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        count = state.count
+        lr = {k: s(count) for k, s in schedules.items()}  # scalars, traced once
+
+        def one(u, p, lbl):
+            if lbl == "frozen":
+                return jnp.zeros_like(u)
+            wd = weight_decay if lbl.endswith("_wd") else 0.0
+            v = u + wd * p if wd else u
+            return -lr[lbl] * v
+
+        new_updates = jax.tree_util.tree_map(one, updates, params, labels)
+        return new_updates, GroupLRState(count=count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params,
     cfg: TrainConfig,
@@ -96,29 +132,17 @@ def build_optimizer(
         "clip_text": cfg.clip_lr_text,
         "decoder": decoder_lr,
     }
-
-    def adamw_for(group: str, decay: bool):
-        sched = make_schedule(
-            cfg.scheduler, group_lr[group], cfg.num_train_steps, cfg.warmup_ratio
-        )
-        return optax.adamw(
-            learning_rate=sched,
-            b1=cfg.betas[0],
-            b2=cfg.betas[1],
-            eps=1e-6,
-            weight_decay=cfg.weight_decay if decay else 0.0,
-        )
-
-    transforms: Dict[str, Any] = {}
-    for g in group_lr:
-        transforms[f"{g}_wd"] = adamw_for(g, True)
-        transforms[f"{g}_nd"] = adamw_for(g, False)
-    transforms["frozen"] = optax.set_to_zero()
+    schedules: Dict[str, Callable] = {}
+    for g, lr in group_lr.items():
+        sched = make_schedule(cfg.scheduler, lr, cfg.num_train_steps, cfg.warmup_ratio)
+        schedules[f"{g}_wd"] = sched
+        schedules[f"{g}_nd"] = sched
 
     labels = label_params(params, cfg.new_params_name, frozen_vision, frozen_multimodal)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
-        optax.multi_transform(transforms, labels),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-6),
+        scale_by_group_schedules(labels, schedules, cfg.weight_decay),
     )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
