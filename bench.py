@@ -37,10 +37,11 @@ def main():
     from valor_tpu.core.tasks import parse_task
     from valor_tpu.models.valor import VALORModel
     from valor_tpu.train.optimizer import build_optimizer
-    from valor_tpu.train.step import TrainState, make_train_step
+    from valor_tpu.train.step import TrainState, make_train_loop
     from __graft_entry__ import _flagship_config, _synthetic_batch
 
-    batch_size = int(__import__("os").environ.get("BENCH_BATCH", 32))
+    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    n_inner = int(os.environ.get("BENCH_INNER", 8))  # steps per jit call
     cfg = _flagship_config()
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
@@ -56,21 +57,25 @@ def main():
     tcfg = TrainConfig(num_train_steps=10000)
     tx = build_optimizer(params, tcfg)
     state = TrainState.create(params, tx)
-    train_step = make_train_step(model, tx)
+    train_loop = make_train_loop(model, tx, n_inner)
 
+    # K identical batches stacked on a leading scan axis
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_inner,) + x.shape), batch
+    )
     rng = jax.random.PRNGKey(2)
     # warmup / compile
-    state, metrics = train_step(state, batch, rng, task)
-    jax.block_until_ready(metrics["total_loss"])
+    state, metrics = train_loop(state, stacked, rng, task)
+    _ = float(metrics["total_loss"])  # host readback = ground-truth sync
 
-    n_steps = 8
+    n_outer = 2
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = train_step(state, batch, rng, task)
-    jax.block_until_ready(metrics["total_loss"])
+    for _ in range(n_outer):
+        state, metrics = train_loop(state, stacked, rng, task)
+        _ = float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    sps = batch_size * n_steps / dt
+    sps = batch_size * n_inner * n_outer / dt
     print(
         json.dumps(
             {

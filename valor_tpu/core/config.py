@@ -154,6 +154,7 @@ class TrainConfig:
     num_train_steps: int = 0
     gradient_accumulation_steps: int = 1
     dataset_mix_type: str = "random"  # random | accum (round-robin)
+    train_inner_steps: int = 1  # steps fused per jit call (lax.scan)
     seed: int = 42
     valid_steps: int = 1000
     valid_freq: int = 10

@@ -68,6 +68,47 @@ def make_train_step(model, tx, donate: bool = True):
     return train_step
 
 
+def make_train_loop(model, tx, n_inner: int, donate: bool = True):
+    """K train steps per jit call via lax.scan over a stacked batch.
+
+    The optimizer state and params stay device-resident INSIDE one XLA
+    program for all K steps — amortising the per-call buffer-handle
+    marshaling (which dominates on tunneled/remote PJRT runtimes and is
+    nonzero even locally) and letting XLA overlap step boundaries.
+    Batches arrive stacked on a new leading axis: [K, B, ...].
+    """
+
+    def one_step(state: TrainState, batch, rng, task: TaskSpec):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch, task, True, True, rngs={"mask": rng}
+            )
+            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
+    def train_loop(state: TrainState, stacked_batch, rng, task: TaskSpec):
+        def body(state, batch):
+            return one_step(state, batch, rng, task)
+
+        state, metrics = jax.lax.scan(body, state, stacked_batch, length=n_inner)
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return train_loop
+
+
 def make_eval_step(model):
     """Feature-extraction / loss-free forward, jitted per task."""
 

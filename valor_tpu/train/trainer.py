@@ -48,6 +48,13 @@ class Trainer:
         self.validate_fn = validate_fn
         self.saver = saver
         self.train_step = make_train_step(model, tx)
+        # fused multi-step path: groups consecutive same-task batches into
+        # one lax.scan'd jit call (train/step.py make_train_loop)
+        self.inner_steps = max(cfg.train.train_inner_steps, 1)
+        if self.inner_steps > 1:
+            from valor_tpu.train.step import make_train_loop
+
+            self.train_loop = make_train_loop(model, tx, self.inner_steps)
         self.meters: Dict[str, RunningMeter] = {}
         self.best: Dict[str, float] = {}
         self.rng = jax.random.PRNGKey(cfg.train.seed)
@@ -69,6 +76,8 @@ class Trainer:
         t = self.cfg.train
         step = int(self.state.step)
         t_start = time.time()
+        pending: list = []  # buffered same-task batches for the fused loop
+        pending_task = None
         for name_task, batch in self.meta_loader:
             task_name, batch_task = name_task, batch
             if isinstance(name_task, tuple):
@@ -78,10 +87,33 @@ class Trainer:
             device_batch = {
                 k: v
                 for k, v in batch_task.items()
-                if k not in ("ids", "ids_txt", "sample_num")
+                if k not in ("ids", "ids_txt", "sample_num", "answers", "question_ids")
             }
             if self.cfg.model.scst_finetuning and spec.family == "cap":
                 metrics = self.scst_step(device_batch, batch_task.get("ids"), spec)
+            elif self.inner_steps > 1:
+                if pending_task not in (None, (task_name, spec)):
+                    step = self._flush(pending, pending_task[1], step, task_name)
+                    pending = []
+                pending_task = (task_name, spec)
+                pending.append(device_batch)
+                if len(pending) < self.inner_steps:
+                    continue
+                import jax.numpy as _jnp
+
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: _jnp.stack(xs), *pending
+                )
+                self.state, metrics = self.train_loop(self.state, stacked, self.rng, spec)
+                pending = []
+                step += self.inner_steps
+                for k, v in metrics.items():
+                    self._meter(f"{task_name}/{k}")(float(v))
+                if t.valid_steps and step % t.valid_steps < self.inner_steps:
+                    self.evaluate_and_save(step)
+                if step >= t.num_train_steps:
+                    break
+                continue
             else:
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.rng, spec
@@ -104,6 +136,16 @@ class Trainer:
                 break
         self.evaluate_and_save(step)
         return self.state
+
+    def _flush(self, pending: list, spec: TaskSpec, step: int, task_name: str) -> int:
+        """Run buffered batches as single steps (task switch before a full
+        fused window)."""
+        for b in pending:
+            self.state, metrics = self.train_step(self.state, b, self.rng, spec)
+            step += 1
+            for k, v in metrics.items():
+                self._meter(f"{task_name}/{k}")(float(v))
+        return step
 
     def evaluate_and_save(self, step: int) -> None:
         best_name = None
