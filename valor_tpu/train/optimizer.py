@@ -84,6 +84,37 @@ def label_params(
     return jax.tree_util.tree_map_with_path(lbl, params)
 
 
+def global_norm_flat(tree) -> jnp.ndarray:
+    """Global L2 norm via ONE fused reduction over a concatenated vector.
+
+    optax.global_norm emits a scalar reduction per leaf (~940 for
+    VALOR-base), which measured 280 s/step on the tunneled v5e runtime
+    (scalar kernels each paid a host round-trip); a single concatenate +
+    vdot compiles to one reduction kernel.
+    """
+    flat = jnp.concatenate(
+        [x.ravel().astype(jnp.float32) for x in jax.tree_util.tree_leaves(tree)]
+    )
+    return jnp.sqrt(jnp.vdot(flat, flat))
+
+
+def clip_by_global_norm_flat(max_norm: float) -> optax.GradientTransformation:
+    """clip_by_global_norm with the flat-reduction norm (same semantics:
+    scale by max_norm/norm only when norm > max_norm)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = global_norm_flat(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-9))
+        return jax.tree_util.tree_map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 class GroupLRState(NamedTuple):
     count: jnp.ndarray
 
@@ -140,7 +171,7 @@ def build_optimizer(
 
     labels = label_params(params, cfg.new_params_name, frozen_vision, frozen_multimodal)
     tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_norm),
+        clip_by_global_norm_flat(cfg.grad_norm),
         optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-6),
         scale_by_group_schedules(labels, schedules, cfg.weight_decay),
     )

@@ -59,7 +59,9 @@ def make_train_step(model, tx, donate: bool = True):
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        from valor_tpu.train.optimizer import global_norm_flat
+
+        metrics["grad_norm"] = global_norm_flat(grads)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
