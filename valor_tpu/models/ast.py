@@ -29,6 +29,7 @@ class ASTConfig:
     melbins: int = 64
     target_length: int = 512
     patch_size: int = 16
+    dropout: float = 0.1
 
     @property
     def tokens_per_clip(self) -> int:
@@ -66,7 +67,9 @@ class ASTEncoder(nn.Module):
             (c.tokens_per_clip + 1, c.hidden_size),
             jnp.float32,
         )
-        x = x + pos.astype(self.dtype)
+        from valor_tpu.ops.layers import maybe_dropout
+
+        x = maybe_dropout(self, x + pos.astype(self.dtype), c.dropout)
         layer_cls = PreNormLayer
         if self.remat:
             layer_cls = nn.remat(PreNormLayer, static_argnums=())
@@ -77,6 +80,7 @@ class ASTEncoder(nn.Module):
                 activation="gelu",
                 ln_eps=1e-12,
                 dtype=self.dtype,
+                dropout=c.dropout,
                 name=f"block_{i}",
             )(x)
         return LayerNorm(eps=1e-12, dtype=self.dtype, name="last_layernorm")(x)

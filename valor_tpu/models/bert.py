@@ -46,6 +46,7 @@ class BertConfig:
     intermediate: int = 3072
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
+    dropout: float = 0.1  # hidden/attention dropout (reference bert 0.1)
     has_cross_attn: bool = False
     cross_attn_type: Optional[str] = None  # va_concate|va_parallel|video_audio|audio_video
 
@@ -88,7 +89,9 @@ class BertEmbeddings(nn.Module):
             x = x + self.prompt_embedding[0][None, None]
         else:
             x = x + self.token_type_embeddings[0][None, None]
-        return self.ln(x.astype(self.dtype))
+        from valor_tpu.ops.layers import maybe_dropout
+
+        return maybe_dropout(self, self.ln(x.astype(self.dtype)), self.cfg.dropout)
 
 
 class _ResidualAttn(nn.Module):
@@ -97,9 +100,12 @@ class _ResidualAttn(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     def setup(self):
-        self.attn = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")
+        self.attn = MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, dropout=self.dropout, name="attn"
+        )
         self.ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="ln")
 
     def __call__(self, x, kv, bias=None, extra_kv=None):
@@ -116,13 +122,13 @@ class BertFusionLayer(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.self_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, name="self_attn")
+        self.self_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="self_attn")
         if c.has_cross_attn:
             if c.cross_attn_type == "va_concate":
-                self.cross_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn")
+                self.cross_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn")
             else:
-                self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_v")
-                self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, name="cross_attn_a")
+                self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_v")
+                self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_a")
         self.mlp = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")
         self.out_ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="out_ln")
 
@@ -198,7 +204,9 @@ class BertFusionLayer(nn.Module):
                         x = getattr(self, f"cross_attn_{mod}")(x, feat)
             else:
                 raise ValueError(f"unknown cross_attn_type {t!r}")
-        h = self.mlp(x)
+        from valor_tpu.ops.layers import maybe_dropout
+
+        h = maybe_dropout(self, self.mlp(x), c.dropout)
         return self.out_ln(x + h)
 
 

@@ -123,6 +123,7 @@ class VALORModel(nn.Module):
 
         # ---- audio encoder (AST)
         ast_cfg = ASTConfig(
+            dropout=c.dropout,
             hidden_size=c.audio_hidden,
             layers=c.audio_layers,
             heads=c.audio_heads,
@@ -136,6 +137,7 @@ class VALORModel(nn.Module):
 
         # ---- multimodal fusion (BERT)
         bert_cfg = BertConfig(
+            dropout=c.dropout,
             vocab_size=c.fusion_vocab,
             hidden_size=c.fusion_hidden,
             num_layers=c.fusion_layers,

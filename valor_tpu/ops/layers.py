@@ -114,6 +114,41 @@ class Embed(nn.Module):
         return jnp.dot(x, table.T.astype(x.dtype))
 
 
+import contextlib
+
+# trace-time training-mode switch: dropout layers read this when the model
+# is traced.  The train step traces inside `train_mode()`; eval programs
+# trace in the default deterministic mode.  (reference: module.train()/
+# .eval() — here the mode is baked per compiled program, which is exactly
+# the jit semantics we want.)
+_DETERMINISTIC = True
+
+
+@contextlib.contextmanager
+def train_mode():
+    global _DETERMINISTIC
+    prev = _DETERMINISTIC
+    _DETERMINISTIC = False
+    try:
+        yield
+    finally:
+        _DETERMINISTIC = prev
+
+
+def is_deterministic() -> bool:
+    return _DETERMINISTIC
+
+
+def maybe_dropout(module: "nn.Module", x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Functional dropout usable from any bound module method (setup- or
+    compact-style); no-op when rate==0 or tracing in deterministic mode."""
+    if rate > 0.0 and not _DETERMINISTIC:
+        rng = module.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    return x
+
+
 # trace-time attention implementation switch: "einsum" (XLA fuses well on
 # its own) or "flash" (Pallas block kernel on TPU; see ops/pallas/attention).
 _ATTENTION_IMPL = "einsum"
@@ -212,8 +247,6 @@ class MultiHeadAttention(nn.Module):
         self.out = _LazyDense(
             feats, dtype=self.dtype, kernel_init=self.out_kernel_init, name="out"
         )
-        if self.dropout > 0.0:
-            self.drop = nn.Dropout(self.dropout)
 
     def __call__(
         self,
@@ -222,7 +255,6 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         return_kv: bool = False,
-        deterministic: bool = True,
     ):
         qh = split_heads(self.query(q_in), self.num_heads)
         if kv_in is not None:
@@ -239,8 +271,7 @@ class MultiHeadAttention(nn.Module):
             kh, vh = (t.astype(qh.dtype) for t in extra_kv)
         out = dot_product_attention(qh, kh, vh, bias=bias, dtype=self.dtype)
         out = merge_heads(out)
-        if self.dropout > 0.0 and not deterministic:
-            out = self.drop(out, deterministic=False)
+        out = maybe_dropout(self, out, self.dropout)
         out = self.out(out)
         if return_kv:
             return out, (kh, vh)
@@ -281,15 +312,16 @@ class PreNormLayer(nn.Module):
     activation: str = "gelu"
     ln_eps: float = 1e-12
     dtype: Dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(h, h, bias)
-        x = x + h
+        x = x + maybe_dropout(self, h, self.dropout)
         h = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name="ln2")(x)
         h = MlpBlock(self.intermediate, self.activation, dtype=self.dtype, name="mlp")(h)
-        return x + h
+        return x + maybe_dropout(self, h, self.dropout)
 
 
 class PostNormLayer(nn.Module):

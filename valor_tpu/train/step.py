@@ -24,6 +24,7 @@ import optax
 from flax import struct
 
 from valor_tpu.core.tasks import TaskSpec
+from valor_tpu.ops.layers import train_mode
 from valor_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 
 
@@ -46,11 +47,14 @@ def make_train_step(model, tx, donate: bool = True):
     @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng, task: TaskSpec):
         rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(params):
-            losses = model.apply(
-                {"params": params}, batch, task, True, True, rngs={"mask": rng}
-            )
+            with train_mode():
+                losses = model.apply(
+                    {"params": params}, batch, task, True, True,
+                    rngs={"mask": mask_rng, "dropout": drop_rng},
+                )
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, losses
 
@@ -82,11 +86,14 @@ def make_train_loop(model, tx, n_inner: int, donate: bool = True):
 
     def one_step(state: TrainState, batch, rng, task: TaskSpec):
         rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(params):
-            losses = model.apply(
-                {"params": params}, batch, task, True, True, rngs={"mask": rng}
-            )
+            with train_mode():
+                losses = model.apply(
+                    {"params": params}, batch, task, True, True,
+                    rngs={"mask": mask_rng, "dropout": drop_rng},
+                )
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, losses
 
