@@ -38,10 +38,12 @@ class TrainState(struct.PyTreeNode):
         return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
-def make_train_step(model, tx, donate: bool = True):
+def make_train_step(model, tx, donate: bool = True, with_grad_norm: bool = True):
     """Returns train_step(state, batch, rng, task) -> (state, metrics).
 
     `task` is static (hashable TaskSpec); one executable per task+shape.
+    `with_grad_norm=False` skips the metric's extra flat-concat of all
+    grads (a transient full-param-size buffer) — useful at memory limits.
     """
 
     @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
@@ -63,9 +65,10 @@ def make_train_step(model, tx, donate: bool = True):
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total
-        from valor_tpu.train.optimizer import global_norm_flat
+        if with_grad_norm:
+            from valor_tpu.train.optimizer import global_norm_flat
 
-        metrics["grad_norm"] = global_norm_flat(grads)
+            metrics["grad_norm"] = global_norm_flat(grads)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,
