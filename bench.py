@@ -67,9 +67,11 @@ def main():
     train_step = make_train_step(model, tx, donate=True, with_grad_norm=False)
 
     rng = jax.random.PRNGKey(2)
-    # warmup / compile
-    state, metrics = train_step(state, batch, rng, task)
-    _ = float(metrics["total_loss"])  # host readback = ground-truth sync
+    # warmup: compile + first donated-buffer step (the runtime's first
+    # donation round-trip is ~100x slower than steady state)
+    for w in range(2):
+        state, metrics = train_step(state, batch, jax.random.fold_in(rng, 1000 + w), task)
+        _ = float(metrics["total_loss"])  # host readback = ground-truth sync
 
     # The driver's chip sits behind a shared tunnel whose throughput varies
     # >10x run to run (see PERF_NOTES.md); per-step min is the capability
