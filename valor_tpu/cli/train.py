@@ -108,7 +108,14 @@ def make_validate_fn(cfg: Config, model, tokenizers):
 def main(argv=None):
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    if os.environ.get("VALOR_DEBUG_NANS"):
+        from valor_tpu.utils.profiling import enable_debug
+
+        enable_debug(nan_checks=True)
     cfg = parse_cli(argv)
+    import random as _random
+
+    _random.seed(cfg.train.seed + jax.process_index())
     out_dir = cfg.train.output_dir or "output"
     if is_main_process():
         os.makedirs(out_dir, exist_ok=True)
