@@ -45,6 +45,10 @@ def main():
     from valor_tpu.train.step import make_train_step
 
     batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    if os.environ.get("BENCH_FLASH"):
+        from valor_tpu.ops.layers import set_attention_impl
+
+        set_attention_impl("flash")
     cfg = _flagship_config()
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")

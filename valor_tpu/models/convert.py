@@ -153,7 +153,7 @@ def convert_bert(path_or_sd, target: str = "multimodal_encoder") -> Dict[str, An
     n_layers = len({k.split(".")[2] for k in sd if k.startswith("encoder.layer.")})
     for i in range(n_layers):
         p = f"encoder.layer.{i}"
-        enc[f"layer_{i}"] = {
+        layer = {
             "self_attn": {
                 "attn": {
                     "query": _lin(sd, f"{p}.attention.self.query"),
@@ -169,6 +169,22 @@ def convert_bert(path_or_sd, target: str = "multimodal_encoder") -> Dict[str, An
             },
             "out_ln": _ln(sd, f"{p}.output.LayerNorm"),
         }
+        # cross-attention blocks (VALOR-finetuned checkpoints; reference
+        # BertLayer names: cross_attn / cross_attn_v / cross_attn_a with
+        # .cross.{query,key,value} + .output.{dense,LayerNorm})
+        for name in ("cross_attn", "cross_attn_v", "cross_attn_a"):
+            key = f"{p}.{name}.cross.query.weight"
+            if key in sd:
+                layer[name] = {
+                    "attn": {
+                        "query": _lin(sd, f"{p}.{name}.cross.query"),
+                        "key": _lin(sd, f"{p}.{name}.cross.key"),
+                        "value": _lin(sd, f"{p}.{name}.cross.value"),
+                        "out": _lin(sd, f"{p}.{name}.output.dense"),
+                    },
+                    "ln": _ln(sd, f"{p}.{name}.output.LayerNorm"),
+                }
+        enc[f"layer_{i}"] = layer
     out = {target: enc}
     if "cls.predictions.transform.dense.weight" in sd:
         out["cls_head"] = {
