@@ -113,6 +113,47 @@ class TestClipVisionParity:
         np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-4)
 
 
+class TestClipTextParity:
+    def test_encode_text_causal(self, reference_modules):
+        """Reference CLIP.encode_text (clip.py:372-427) vs our text tower."""
+        ref_clip, _ = reference_modules
+        torch.manual_seed(0)
+        clip = ref_clip.CLIP(
+            embed_dim=16,
+            image_resolution=32,
+            vision_layers=1,
+            vision_width=64,  # reference derives vision heads as width//64
+            vision_patch_size=16,
+            context_length=16,
+            vocab_size=64,
+            transformer_width=32,
+            transformer_heads=2,
+            transformer_layers=2,
+        ).float().eval()
+
+        tokens = np.array([[5, 9, 11, 3, 0, 0], [7, 2, 6, 0, 0, 0]], np.int64)
+        with torch.no_grad():
+            ref = clip.encode_text(torch.from_numpy(tokens), casual=True).numpy()
+
+        import jax
+        import jax.numpy as jnp
+
+        import valor_tpu.models.convert as C
+        from valor_tpu.models.clip import CLIPTextConfig, CLIPTextTransformer
+        from valor_tpu.train.checkpoints import adapt_pretrained_params
+
+        sd = {k: v.float().numpy() for k, v in clip.state_dict().items()}
+        tree = C.convert_clip(sd, resolution=32)["clip_text"]
+        cfg = CLIPTextConfig(
+            width=32, layers=2, vocab_size=64, context_length=16, embed_dim=16, num_heads=2
+        )
+        model = CLIPTextTransformer(cfg, dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.asarray(tokens.astype(np.int32)))["params"]
+        params = adapt_pretrained_params(tree, init)
+        out = np.asarray(model.apply({"params": params}, jnp.asarray(tokens.astype(np.int32))))
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
 class TestBertFusionParity:
     def _build_ref(self, reference_modules, cross_attn_type=None):
         import importlib
@@ -213,6 +254,89 @@ class TestBertFusionParity:
                 video_feat=jnp.asarray(video), audio_feat=jnp.asarray(audio), causal=True,
             )
         )
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+class TestASTParity:
+    def test_audio_encoder_forward(self, reference_modules):
+        """AudioEmbeddings + prenorm TransformerEncoder vs reference
+        (modeling.py:738-762 + transformer.py:146-170)."""
+        import importlib
+        import types as _t
+
+        ref_modeling = importlib.import_module("model.modeling")
+        ref_tr = importlib.import_module("model.transformer")
+
+        mc = _t.SimpleNamespace(
+            hidden_size=16,
+            num_attention_heads=2,
+            num_hidden_layers=2,
+            intermediate_size=32,
+            hidden_dropout=0.0,
+            attention_dropout=0.0,
+            checkpointing=False,
+        )
+        cfg = _t.SimpleNamespace(audio_patch_size=8, audio_melbins=16, audio_target_length=32)
+        torch.manual_seed(0)
+        emb = ref_modeling.AudioEmbeddings(mc, cfg).eval()
+        enc = ref_tr.TransformerEncoder(mc, mode="prenorm").eval()
+
+        rng = np.random.RandomState(0)
+        spec = rng.randn(2, 16, 32).astype(np.float32)
+        with torch.no_grad():
+            e = emb(torch.from_numpy(spec))
+            ref, _ = enc(e)
+            ref = ref.numpy()
+
+        # map reference keys onto our converter's AST layout
+        sd = {}
+        sd["v.cls_token"] = emb.cls_token.detach().numpy()
+        w = emb.first_conv.weight.detach().numpy()  # [C,1,8,8]
+        sd["v.patch_embed.proj.weight"] = w
+        sd["v.patch_embed.proj.bias"] = emb.first_conv.bias.detach().numpy()
+        # pos emb in the converter path is resized from the audioset grid;
+        # here shapes already match, so inject directly afterwards
+        for i, layer in enumerate(enc.layer):
+            q, k, v_, o = layer.attention.linears
+            sd[f"v.blocks.{i}.attn.qkv.weight"] = np.concatenate(
+                [q.weight.detach().numpy(), k.weight.detach().numpy(), v_.weight.detach().numpy()]
+            )
+            sd[f"v.blocks.{i}.attn.qkv.bias"] = np.concatenate(
+                [q.bias.detach().numpy(), k.bias.detach().numpy(), v_.bias.detach().numpy()]
+            )
+            sd[f"v.blocks.{i}.attn.proj.weight"] = o.weight.detach().numpy()
+            sd[f"v.blocks.{i}.attn.proj.bias"] = o.bias.detach().numpy()
+            sd[f"v.blocks.{i}.mlp.fc1.weight"] = layer.ff_layer.linear1.weight.detach().numpy()
+            sd[f"v.blocks.{i}.mlp.fc1.bias"] = layer.ff_layer.linear1.bias.detach().numpy()
+            sd[f"v.blocks.{i}.mlp.fc2.weight"] = layer.ff_layer.linear2.weight.detach().numpy()
+            sd[f"v.blocks.{i}.mlp.fc2.bias"] = layer.ff_layer.linear2.bias.detach().numpy()
+            sd[f"v.blocks.{i}.norm1.weight"] = layer.layernorm1.weight.detach().numpy()
+            sd[f"v.blocks.{i}.norm1.bias"] = layer.layernorm1.bias.detach().numpy()
+            sd[f"v.blocks.{i}.norm2.weight"] = layer.layernorm2.weight.detach().numpy()
+            sd[f"v.blocks.{i}.norm2.bias"] = layer.layernorm2.bias.detach().numpy()
+        sd["v.norm.weight"] = enc.last_layernorm.weight.detach().numpy()
+        sd["v.norm.bias"] = enc.last_layernorm.bias.detach().numpy()
+        # dummy audioset-grid pos-emb for the converter (overridden below)
+        sd["v.pos_embed"] = np.zeros((1, 2 + 12 * 101, 16), np.float32)
+
+        import jax
+        import jax.numpy as jnp
+
+        import valor_tpu.models.convert as C
+        from valor_tpu.models.ast import ASTConfig, ASTEncoder
+        from valor_tpu.train.checkpoints import adapt_pretrained_params
+
+        tree = C.convert_ast(sd, melbins=16, target_length=32, patch=8)["audio_encoder"]
+        tree["position_embeddings"] = emb.position_embeddings.weight.detach().numpy()
+
+        acfg = ASTConfig(
+            hidden_size=16, layers=2, heads=2, intermediate=32,
+            melbins=16, target_length=32, patch_size=8, dropout=0.0,
+        )
+        model = ASTEncoder(acfg, dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.asarray(spec))["params"]
+        params = adapt_pretrained_params(tree, init)
+        out = np.asarray(model.apply({"params": params}, jnp.asarray(spec)))
         np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
 
 
