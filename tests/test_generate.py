@@ -94,6 +94,38 @@ class TestGenerate:
         out = gen.generate(model, params, batch, spec.caption_groups, max_len=4)
         assert "generated_sequences_tva" in out
 
+    def test_ctx_kv_cache_matches_full_reencode(self):
+        """in-sequence decode via precomputed [prompt|media] K/V must equal
+        the full causal-prefix re-encode (has_cross_attn=False)."""
+        cfg = tiny_model_config(multimodal_use_cross_attn=False)
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch, "cap%tva")
+        video_output = model.apply({"params": params}, batch["video_pixels"], method=model.encode_video)
+        video_input = model.apply({"params": params}, video_output, method=model.video_fusion_input)
+        audio_output = model.apply({"params": params}, batch["audio_spectrograms"], method=model.encode_audio)
+        audio_input = model.apply({"params": params}, audio_output, method=model.audio_fusion_input)
+        tokens = batch["bert_tokens"][:, :5]
+        mask = (tokens != 0).astype(jnp.float32)
+        full = model.apply(
+            {"params": params}, tokens, None, video_input, audio_input, True, False, mask,
+            method=model.fusion_logits,
+        )
+        ctx_kv, ctx_mask = model.apply(
+            {"params": params}, None, video_input, audio_input, method=model.fusion_ctx_kv
+        )
+        cached = model.apply(
+            {"params": params}, tokens, mask, ctx_kv, ctx_mask,
+            method=model.fusion_logits_ctx,
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(cached), rtol=3e-5, atol=3e-5)
+
+    def test_generate_in_seq_media(self):
+        cfg = tiny_model_config(multimodal_use_cross_attn=False)
+        batch = make_batch(jax.random.PRNGKey(0))
+        model, params, spec = _setup(cfg, batch, "cap%tva")
+        out = gen.generate(model, params, batch, spec.caption_groups, max_len=4)
+        assert np.asarray(out["generated_sequences_tva"]).shape == (4, 4)
+
     def test_cross_kv_cache_matches_uncached(self):
         """decode via the precomputed cross-KV cache must equal the direct
         cross-attention forward on the same prefix."""

@@ -50,11 +50,10 @@ def _prepare_step(buffer, t, caption_type):
     if caption_type == "unimlm":
         read_pos = t + 1
         tokens = jnp.where(pos[None] == read_pos, MASK_TOKEN, buffer)
-        mask = (pos[None] <= read_pos).astype(jnp.float32)
     else:
         read_pos = t
         tokens = buffer
-        mask = (pos[None] <= read_pos).astype(jnp.float32)
+    mask = jnp.broadcast_to((pos[None] <= read_pos), buffer.shape).astype(jnp.float32)
     return tokens, mask, read_pos
 
 
@@ -189,6 +188,23 @@ def make_fusion_decoder(
             {"params": params}, video_input, audio_input, method=model.fusion_cross_kv
         )
         video_input = audio_input = None  # media now live in the cache
+    elif not model.cfg.multimodal_use_cross_attn and (
+        prompt_tokens is not None or video_input is not None or audio_input is not None
+    ):
+        # in-sequence media: cache the [prompt|media] self-attn K/V once
+        # (exact under the causal-prefix mask; see bert.precompute_ctx_kv)
+        ctx_kv, ctx_mask = model.apply(
+            {"params": params}, prompt_tokens, video_input, audio_input,
+            method=model.fusion_ctx_kv,
+        )
+
+        def ctx_decoder(tokens, token_mask):
+            return model.apply(
+                {"params": params}, tokens, token_mask, ctx_kv, ctx_mask,
+                method=model.fusion_logits_ctx,
+            )
+
+        return ctx_decoder
 
     def decoder(tokens, token_mask):
         return model.apply(

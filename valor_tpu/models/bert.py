@@ -159,9 +159,10 @@ class BertFusionLayer(nn.Module):
         video_feat: Optional[jnp.ndarray],
         audio_feat: Optional[jnp.ndarray],
         cross_kv: Optional[dict] = None,
+        self_extra_kv=None,
     ) -> jnp.ndarray:
         c = self.cfg
-        x = self.self_attn(x, x, bias)
+        x = self.self_attn(x, x, bias, extra_kv=self_extra_kv)
         has_media = (
             video_feat is not None
             or audio_feat is not None
@@ -234,6 +235,61 @@ class BertFusionEncoder(nn.Module):
     def precompute_cross_kv(self, video_feat, audio_feat):
         """Per-layer cross-attention K/V for the decode fast path."""
         return [layer.compute_cross_kv(video_feat, audio_feat) for layer in self.layers]
+
+    def precompute_ctx_kv(self, task_prompt, video_feat, audio_feat):
+        """Self-attention K/V of the [prompt|video|audio] context for the
+        in-sequence (has_cross_attn=False) decode fast path.
+
+        Under the causal-prefix mask (ops/masks.py) non-text positions never
+        attend to text, so the context hidden states are text-independent:
+        running the stack on the context alone reproduces them exactly, and
+        the per-layer K/V can be cached for every decode step.  (The
+        reference has no working cache here at all — model/bert.py:807.)
+        Returns (kv_list, ctx_mask [B, Nc]).
+        """
+        c = self.cfg
+        feats = []
+        masks = []
+        if task_prompt is not None:
+            feats.append(self.embeddings(task_prompt, "prompt"))
+            masks.append((task_prompt != 0).astype(jnp.float32))
+        if video_feat is not None:
+            feats.append(video_feat.astype(self.dtype))
+            masks.append(jnp.ones(video_feat.shape[:2], jnp.float32))
+        if audio_feat is not None:
+            feats.append(audio_feat.astype(self.dtype))
+            masks.append(jnp.ones(audio_feat.shape[:2], jnp.float32))
+        x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+        ctx_mask = jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
+        bias = ((1.0 - ctx_mask) * -1e4)[:, None, None, :]
+        kv_list = []
+        for layer in self.layers:
+            kv_list.append(layer.self_attn.compute_kv(x))
+            x = layer(x, bias, None, None)
+        return kv_list, ctx_mask
+
+    def decode_with_ctx(
+        self,
+        tokens: jnp.ndarray,  # [B, N] text buffer
+        token_mask: jnp.ndarray,  # [B, N]
+        ctx_kv_list: list,
+        ctx_mask: jnp.ndarray,  # [B, Nc]
+    ) -> jnp.ndarray:
+        """Text-only decode forward attending to cached context K/V."""
+        x = self.embeddings(tokens, None, False)
+        b, n = tokens.shape
+        nc = ctx_mask.shape[1]
+        tm = token_mask.astype(jnp.float32)
+        qi = jnp.arange(n)[:, None]
+        ki = jnp.arange(n)[None, :]
+        causal = (ki <= qi).astype(jnp.float32)[None]  # [1, N, N]
+        text_part = causal * tm[:, None, :]
+        ctx_part = jnp.broadcast_to(ctx_mask[:, None, :], (b, n, nc))
+        mask = jnp.concatenate([text_part, ctx_part], axis=-1)
+        bias = ((1.0 - mask) * -1e4)[:, None]
+        for layer, kv in zip(self.layers, ctx_kv_list):
+            x = layer(x, bias, None, None, self_extra_kv=kv)
+        return x
 
     def __call__(
         self,

@@ -439,6 +439,20 @@ class VALORModel(nn.Module):
         """Precompute per-layer cross-attention K/V for decoding."""
         return self.multimodal_encoder.precompute_cross_kv(video_input, audio_input)
 
+    def fusion_ctx_kv(self, prompt_tokens, video_input, audio_input):
+        """Precompute [prompt|media] self-attn K/V for in-sequence decode
+        (multimodal_use_cross_attn=False)."""
+        return self.multimodal_encoder.precompute_ctx_kv(
+            prompt_tokens, video_input, audio_input
+        )
+
+    def fusion_logits_ctx(self, tokens, token_mask, ctx_kv_list, ctx_mask):
+        """Score text positions attending to the cached context."""
+        out = self.multimodal_encoder.decode_with_ctx(
+            tokens, token_mask, ctx_kv_list, ctx_mask
+        )
+        return self.cls_head(out, self._bert_embedding_table())
+
     def caption_inputs(self, txt_tokens: jnp.ndarray, train: bool):
         """(masked tokens, labels) for the caption objective."""
         c = self.cfg
