@@ -83,12 +83,13 @@ class TestQACollate:
         return out
 
     def test_train_collate_tiling(self, qa_fixture):
-        batch = valorqa_collate_train(self._samples(qa_fixture))
-        # v0 has 1 answer, v1 has 2 -> 3 tiled rows over 2 videos
-        assert batch["bert_tokens"].shape[0] == 3
+        batch = valorqa_collate_train(self._samples(qa_fixture), pad_multiple=4)
+        # v0 has 1 answer, v1 has 2 -> 3 tiled rows, padded to 4 with a
+        # zero-weight copy of row 0 (shape bucketing)
+        assert batch["bert_tokens"].shape[0] == 4
         assert batch["video_pixels"].shape[0] == 2
-        np.testing.assert_array_equal(batch["tile_index"], [0, 1, 1])
-        np.testing.assert_allclose(batch["answer_weights"], [1.0, 0.7, 0.3])
+        np.testing.assert_array_equal(batch["tile_index"], [0, 1, 1, 0])
+        np.testing.assert_allclose(batch["answer_weights"], [1.0, 0.7, 0.3, 0.0])
 
     def test_test_collate(self, qa_fixture):
         p, tok = qa_fixture

@@ -96,9 +96,15 @@ def _stack_tok(dicts: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 
-def valorqa_collate_train(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
-    """Train batch with flat answer tiling + tile_index (static per
-    answer-count signature; VQAv2-style batches bucket by total answers)."""
+def valorqa_collate_train(
+    samples: Sequence[Dict[str, Any]], pad_multiple: int = 8
+) -> Dict[str, Any]:
+    """Train batch with flat answer tiling + tile_index.
+
+    Multi-answer batches pad the tiled rows up to a multiple of
+    ``pad_multiple`` with zero-weight copies of row 0, so the jitted step
+    sees a small number of shape buckets instead of one shape per batch
+    (VQAv2 answer counts vary per question)."""
     ids = [s["id"] for s in samples]
     questions: List[Dict[str, np.ndarray]] = []
     answers: List[Dict[str, np.ndarray]] = []
@@ -106,12 +112,19 @@ def valorqa_collate_train(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     tile_index: List[int] = []
     for qi, s in enumerate(samples):
         qa = s["qa"]
-        n = len(qa["answer"])
         for a, w in zip(qa["answer"], qa["answer_weights"]):
             answers.append(a)
             weights.append(w)
             questions.append(qa["question"])
             tile_index.append(qi)
+    uniform = all(len(s["qa"]["answer"]) == 1 for s in samples)
+    if not uniform:
+        pad = (-len(answers)) % pad_multiple
+        for _ in range(pad):
+            answers.append(answers[0])
+            questions.append(questions[0])
+            weights.append(0.0)  # zero weight -> no gradient contribution
+            tile_index.append(0)
     batch: Dict[str, Any] = {"ids": ids}
     ans = _stack_tok(answers)
     q = _stack_tok(questions)
@@ -119,7 +132,6 @@ def valorqa_collate_train(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     if "clip_tokens" in ans:
         batch["clip_tokens"] = ans["clip_tokens"]
     batch["question_prompt"] = q.get("bert_tokens")
-    uniform = all(len(s["qa"]["answer"]) == 1 for s in samples)
     if not uniform:
         batch["answer_weights"] = np.asarray(weights, np.float32)
         batch["tile_index"] = np.asarray(tile_index, np.int32)
