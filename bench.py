@@ -44,7 +44,7 @@ def main():
 
     from valor_tpu.train.step import make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 32))
+    batch_size = int(os.environ.get("BENCH_BATCH", 64))  # 64: 80 samples/s measured
     if os.environ.get("BENCH_FLASH"):
         from valor_tpu.ops.layers import set_attention_impl
 

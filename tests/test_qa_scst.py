@@ -127,6 +127,51 @@ class TestValidatePT:
         assert "contra_recall_tv" in report
 
 
+class TestSCSTTrainerLoop:
+    def test_scst_trainer_step(self, tmp_path):
+        """End-to-end SCST: rollouts -> host CIDEr+BLEU reward -> REINFORCE
+        update through the Trainer."""
+        import jax
+        import json as _json
+
+        from valor_tpu.core.config import Config, TrainConfig
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.data.tokenizers.wordpiece import BertTokenizer
+        from valor_tpu.eval.scorer import Scorer
+        from valor_tpu.models.valor import VALORModel
+        from valor_tpu.train.optimizer import build_optimizer
+        from valor_tpu.train.step import TrainState
+        from valor_tpu.train.trainer import Trainer
+
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(TINY_VOCAB))
+        tok = BertTokenizer(str(vocab))
+        ids = ["a", "b"]
+        ann = {"a": ["a cat sits on the mat"], "b": ["the dog runs"]}
+        annfile = tmp_path / "ann.json"
+        annfile.write_text(_json.dumps(ann))
+        scorer = Scorer(str(annfile), ids, tok)
+
+        mcfg = tiny_model_config(fusion_vocab=128, scst_finetuning=True, max_generation_len=4)
+        spec = parse_task("cap%tv")
+        batch = make_batch(jax.random.PRNGKey(0), b=2, vocab=128)
+        model = VALORModel(mcfg)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            batch, spec, True, True,
+        )["params"]
+        tcfg = TrainConfig(num_train_steps=1, learning_rate=1e-4)
+        tx = build_optimizer(params, tcfg)
+        state = TrainState.create(params, tx)
+        cfg = Config(model=mcfg, train=tcfg)
+        trainer = Trainer(cfg, model, tx, state, meta_loader=[], scorer=scorer)
+        device_batch = {k: v for k, v in batch.items() if k != "ids"}
+        metrics = trainer.scst_step(device_batch, ids, spec)
+        assert "caption_loss_tv" in metrics
+        assert np.isfinite(metrics["caption_loss_tv"])
+        assert int(trainer.state.step) == 1
+
+
 class TestSCST:
     def test_scst_loss_sign_and_grad(self):
         cfg = tiny_model_config()

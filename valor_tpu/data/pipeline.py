@@ -191,7 +191,21 @@ class VideoMapper:
                 frame_dir = os.path.join(self.video_dir, id_)
                 names = sorted(os.listdir(frame_dir))
                 picks = chunk_pick(uniform_chunks(names, self.sample_num), self.training, rng)
-                frames = [Image.open(os.path.join(frame_dir, p)) for p in picks]
+                paths = [os.path.join(frame_dir, p) for p in picks]
+                # native C++ fast path: threaded JPEG decode + antialiased
+                # resize + normalise in one call (plain Resize((r,r)) only)
+                if self.transforms == "none":
+                    from valor_tpu.data import native
+
+                    if native.available():
+                        res = self.resolution
+                        out, failed = native.decode_resize_batch(
+                            paths, (res, res), self.mean, self.std
+                        )
+                        if failed:
+                            return None
+                        return out
+                frames = [Image.open(p) for p in paths]
                 return self._finish(frames, rng)
             # image datasets: one frame; optional visual-genome crop syntax
             path = os.path.join(self.video_dir, id_)
