@@ -1,0 +1,77 @@
+"""Parameter partitioning rules (tensor parallelism over the `model` axis).
+
+The reference has no TP (SURVEY.md §2.3 — DP only); these rules are the
+optional TPU-native extension: Megatron-style column/row sharding of the
+transformer matmuls expressed purely as PartitionSpecs — GSPMD inserts the
+collectives.  With mesh model=1 every spec degenerates to replication, so
+the same code path serves pure DP.
+
+Rules (kernel layout is [in, out]):
+  * attention query/key/value kernels+biases: shard the OUT (head) dim,
+  * attention out-projection kernel: shard the IN dim (row parallel),
+  * MLP fc1: OUT sharded (column), fc2: IN sharded (row),
+  * qkv fused kernels (videoswin): OUT sharded,
+  * embeddings / LayerNorm / small heads: replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from valor_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_spec(path_str: str, ndim: int) -> P:
+    p = path_str
+    last = p.rsplit("/", 1)[-1]
+    is_kernel = last == "kernel"
+    is_bias = last == "bias"
+    if "/attn/" in p or p.endswith("attn/qkv/kernel") or "/qkv/" in p:
+        if any(f"/{n}/" in p for n in ("query", "key", "value")) or "/qkv/" in p:
+            if is_kernel and ndim == 2:
+                return P(None, MODEL_AXIS)  # column parallel
+            if is_bias and ndim == 1:
+                return P(MODEL_AXIS)
+        if "/out/" in p or "/proj/" in p:
+            if is_kernel and ndim == 2:
+                return P(MODEL_AXIS, None)  # row parallel
+            return P()
+    if "/mlp/" in p:
+        if "fc1" in p:
+            if is_kernel and ndim == 2:
+                return P(None, MODEL_AXIS)
+            if is_bias and ndim == 1:
+                return P(MODEL_AXIS)
+        if "fc2" in p and is_kernel and ndim == 2:
+            return P(MODEL_AXIS, None)
+    return P()  # replicated
+
+
+def _divisible(shape, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in zip(shape, spec):
+        if axis is None:
+            continue
+        if shape is None or dim % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put the param tree with TP specs (falling back to replication
+    for shapes not divisible by the model axis)."""
+
+    def place(path, x):
+        spec = param_spec(_path_str(path), np.ndim(x))
+        if spec != P() and not _divisible(x.shape, spec, mesh):
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
