@@ -56,6 +56,29 @@ class TestWordpiece:
         assert bert_tok.tokenize("cat, mat!") == ["cat", ",", "mat", "!"]
 
 
+class TestClipBPE:
+    VOCAB = "/root/reference/model/bpe_simple_vocab_16e6.txt.gz"
+
+    @pytest.fixture
+    def clip_tok(self):
+        if not os.path.exists(self.VOCAB):
+            pytest.skip("public CLIP BPE vocab not present")
+        from valor_tpu.data.tokenizers.clip_bpe import ClipBPETokenizer
+
+        return ClipBPETokenizer(self.VOCAB)
+
+    def test_canonical_ids(self, clip_tok):
+        # well-known OpenAI CLIP tokenizations
+        assert clip_tok.sot_token == 49406
+        assert clip_tok.eot_token == 49407
+        assert clip_tok.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+        assert clip_tok.encode("hello world") == [3306, 1002]
+
+    def test_roundtrip(self, clip_tok):
+        for s in ("the dog runs", "a man playing guitar on stage"):
+            assert clip_tok.decode(clip_tok.encode(s)) == s
+
+
 class TestCleanText:
     def test_clean(self):
         assert clean_text("A  Cat,  sits!") == "a cat sits"
