@@ -146,6 +146,7 @@ class TrainConfig:
     decoder_lr: float = -1.0
     new_params_name: List[str] = field(default_factory=list)
     optim: str = "adamw"
+    adam_mu_dtype: str = "float32"  # 'bfloat16' halves first-moment memory
     betas: Tuple[float, float] = (0.9, 0.98)
     weight_decay: float = 0.01
     grad_norm: float = 5.0

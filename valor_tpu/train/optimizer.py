@@ -172,7 +172,12 @@ def build_optimizer(
     labels = label_params(params, cfg.new_params_name, frozen_vision, frozen_multimodal)
     tx = optax.chain(
         clip_by_global_norm_flat(cfg.grad_norm),
-        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-6),
+        optax.scale_by_adam(
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=1e-6,
+            mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
+        ),
         scale_by_group_schedules(labels, schedules, cfg.weight_decay),
     )
     if cfg.gradient_accumulation_steps > 1:
