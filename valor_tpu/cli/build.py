@@ -148,19 +148,45 @@ def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, An
     return out
 
 
-def build_model_and_state(cfg: Config, example_batch: Dict[str, Any]):
+def _merge_params(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep-merge two flax param dicts (same-seed inits agree on shared
+    leaves; the merge only adds modules the first task never traced)."""
+    out = dict(base)
+    for k, v in extra.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge_params(out[k], v)
+        else:
+            out.setdefault(k, v)
+    return out
+
+
+def build_model_and_state(cfg: Config, example_batches):
+    """example_batches: {task_str: device_batch} — one per distinct train
+    task.  The reference constructs every submodule unconditionally
+    (torch nn.Module __init__); flax init only creates params the traced
+    task touches, so a multi-task mix must init over EVERY task and merge
+    (same seed -> identical shared params, plus each task's own heads)."""
     from valor_tpu.train.optimizer import build_optimizer
     from valor_tpu.train.step import TrainState
 
     model = VALORModel(cfg.model)
-    task = parse_task(cfg.data_train[0].task if cfg.data_train else "ret%tv")
-    params = model.init(
-        {"params": jax.random.PRNGKey(cfg.train.seed), "mask": jax.random.PRNGKey(1)},
-        example_batch,
-        task,
-        True,
-        True,
-    )["params"]
+    if isinstance(example_batches, dict) and example_batches and all(
+        isinstance(v, dict) for v in example_batches.values()
+    ):
+        items = list(example_batches.items())
+    else:  # single example batch (tests / single-task callers)
+        task0 = cfg.data_train[0].task if cfg.data_train else "ret%tv"
+        items = [(task0, example_batches)]
+    params: Dict[str, Any] = {}
+    for task_str, ex in items:
+        p = model.init(
+            {"params": jax.random.PRNGKey(cfg.train.seed), "mask": jax.random.PRNGKey(1)},
+            ex,
+            parse_task(task_str),
+            True,
+            True,
+        )["params"]
+        params = _merge_params(params, p) if params else p
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
     tx = build_optimizer(

@@ -134,12 +134,20 @@ def main(argv=None):
 
     tokenizers = build_tokenizers(cfg.model)
     meta = build_train_loaders(cfg, tokenizers, seed=cfg.train.seed)
-    # pull one batch to initialise shapes
-    first_task, first_batch = next(iter(meta))
-    device_batch = {
-        k: v for k, v in first_batch.items() if k not in ("ids", "ids_txt", "sample_num")
-    }
-    model, tx, state = build_model_and_state(cfg, device_batch)
+    # one example batch per DISTINCT task so init traces every head the mix
+    # will train (flax only creates params the traced task touches)
+    example_batches = {}
+    host_keys = ("ids", "ids_txt", "sample_num", "answers", "question_ids")
+    for name, loader in meta.name2loader.items():
+        task_str = name.split("--")[0]
+        if task_str in example_batches:
+            continue
+        idx = next(iter(loader.sampler))
+        batch = loader.collate_fn([loader.dataset[i] for i in idx])
+        example_batches[task_str] = {
+            k: v for k, v in batch.items() if k not in host_keys
+        }
+    model, tx, state = build_model_and_state(cfg, example_batches)
 
     saver = ModelSaver(out_dir, cfg.train.remove_before_ckpt)
     if cfg.train.resume:
@@ -147,8 +155,11 @@ def main(argv=None):
         if restored:
             from valor_tpu.train.step import TrainState
 
+            # micro_step is TrainState's per-micro-batch counter; the
+            # checkpoint's name ("step") counts optimizer updates
+            micro = restored.get("micro_step") or restored["step"]
             state = TrainState(
-                step=jax.numpy.asarray(restored["step"]),
+                step=jax.numpy.asarray(micro),
                 params=restored["params"],
                 opt_state=restored["opt_state"],
             )

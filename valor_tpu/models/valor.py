@@ -641,11 +641,16 @@ class VALORModel(nn.Module):
         else:
             txt_input, labels = txt_tokens, lm_shift_labels(txt_tokens)
 
-        n_questions = (
-            batch["video_pixels"].shape[0]
-            if "video_pixels" in batch and batch["video_pixels"] is not None
-            else txt_tokens.shape[0]
-        )
+        # question count = rows of whichever unique-per-question media array
+        # exists (reference normalises by len(answer_nums),
+        # model/pretrain.py:1288); audio-only QA must NOT fall back to the
+        # tiled answer-row count Bt.
+        if batch.get("video_pixels") is not None:
+            n_questions = batch["video_pixels"].shape[0]
+        elif batch.get("audio_spectrograms") is not None:
+            n_questions = batch["audio_spectrograms"].shape[0]
+        else:
+            n_questions = txt_tokens.shape[0]
         ls = []
         for g in groups:
             v = video_input if "v" in g else None

@@ -47,7 +47,16 @@ class ModelSaver:
 
     def save(self, state, step: int, best_name: Optional[str] = None) -> None:
         path = os.path.abspath(_ckpt_dir(self.output_dir, step))
-        payload = {"params": state.params, "opt_state": state.opt_state, "step": step}
+        # `step` names the checkpoint (optimizer steps, reference
+        # utils/save.py:44); `micro_step` preserves TrainState.step — the
+        # per-micro-batch device counter — so resume under gradient
+        # accumulation restarts with the exact counter it left off with.
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": step,
+            "micro_step": int(state.step),
+        }
         if _HAS_ORBAX:
             self._ckptr.save(path, payload, force=True)
             self._ckptr.wait_until_finished()
@@ -82,9 +91,18 @@ class ModelSaver:
         if step is None:
             return None
         path = os.path.abspath(_ckpt_dir(self.output_dir, step))
-        payload = {"params": state.params, "opt_state": state.opt_state, "step": 0}
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": 0,
+            "micro_step": 0,
+        }
         if _HAS_ORBAX:
-            restored = self._ckptr.restore(path, payload)
+            try:
+                restored = self._ckptr.restore(path, payload)
+            except ValueError:  # checkpoint without micro_step
+                payload.pop("micro_step")
+                restored = self._ckptr.restore(path, payload)
         else:
             restored = np.load(os.path.join(path, "state.npy"), allow_pickle=True).item()
         LOGGER.info(f"restored checkpoint at step {step}")

@@ -61,6 +61,7 @@ class Trainer:
         self.scorer = scorer
         self.alpha = AdaptiveAlpha()
         self._task_cache: Dict[str, TaskSpec] = {}
+        self._pending_metrics: list = []
 
     def _meter(self, name: str) -> RunningMeter:
         if name not in self.meters:
@@ -72,13 +73,41 @@ class Trainer:
             self._task_cache[task] = parse_task(task)
         return self._task_cache[task]
 
+    def _record(self, task_name: str, metrics: Dict[str, Any]) -> None:
+        """Buffer device metrics; readback happens batched at log points.
+
+        float(metric) per step is a device->host sync that serialises
+        dispatch (~0.4 s each on the tunneled runtime); buffering keeps the
+        step loop async and drains with ONE device_get per log interval."""
+        self._pending_metrics.append((task_name, metrics))
+
+    def _drain_metrics(self) -> None:
+        if not self._pending_metrics:
+            return
+        fetched = jax.device_get([m for _, m in self._pending_metrics])
+        for (name, _), vals in zip(self._pending_metrics, fetched):
+            for k, v in vals.items():
+                self._meter(f"{name}/{k}")(float(v))
+        self._pending_metrics = []
+
     def run(self) -> TrainState:
         t = self.cfg.train
-        step = int(self.state.step)
+        accum = max(t.gradient_accumulation_steps, 1)
+        # the reference counts global_step per OPTIMIZER update, not per
+        # micro-batch (train_utils.py:341-363 inside the accumulation
+        # gate); optax.MultiSteps likewise advances the schedule once per
+        # `accum` calls, so trainer bookkeeping must agree.
+        micro = int(self.state.step)
+        step = micro // accum
+        last_logged = step
+        last_evaled = step
         t_start = time.time()
+        self._pending_metrics: list = []
         pending: list = []  # buffered same-task batches for the fused loop
         pending_task = None
         for name_task, batch in self.meta_loader:
+            if step >= t.num_train_steps:  # resumed-finished run
+                break
             task_name, batch_task = name_task, batch
             if isinstance(name_task, tuple):
                 task_name, batch_task = name_task
@@ -91,9 +120,12 @@ class Trainer:
             }
             if self.cfg.model.scst_finetuning and spec.family == "cap":
                 metrics = self.scst_step(device_batch, batch_task.get("ids"), spec)
+                micro += 1
+                for k, v in metrics.items():
+                    self._meter(f"{task_name}/{k}")(float(v))
             elif self.inner_steps > 1:
                 if pending_task not in (None, (task_name, spec)):
-                    step = self._flush(pending, pending_task[1], step, task_name)
+                    micro = self._flush(pending, pending_task[1], micro, pending_task[0])
                     pending = []
                 pending_task = (task_name, spec)
                 pending.append(device_batch)
@@ -106,22 +138,18 @@ class Trainer:
                 )
                 self.state, metrics = self.train_loop(self.state, stacked, self.rng, spec)
                 pending = []
-                step += self.inner_steps
-                for k, v in metrics.items():
-                    self._meter(f"{task_name}/{k}")(float(v))
-                if t.valid_steps and step % t.valid_steps < self.inner_steps:
-                    self.evaluate_and_save(step)
-                if step >= t.num_train_steps:
-                    break
-                continue
+                micro += self.inner_steps
+                self._record(task_name, metrics)
             else:
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.rng, spec
                 )
-            step += 1
-            for k, v in metrics.items():
-                self._meter(f"{task_name}/{k}")(float(v))
-            if step % 100 == 0:
+                micro += 1
+                self._record(task_name, metrics)
+            step = micro // accum
+            if step // 100 > last_logged // 100:
+                last_logged = step
+                self._drain_metrics()
                 elapsed = time.time() - t_start
                 ms = {k: m.val for k, m in self.meters.items() if m.val is not None}
                 LOGGER.info(
@@ -130,22 +158,24 @@ class Trainer:
                 )
                 TB_LOGGER.set_step(step)
                 TB_LOGGER.log_scalar_dict(ms)
-            if t.valid_steps and step % t.valid_steps == 0:
+            if t.valid_steps and step // t.valid_steps > last_evaled // t.valid_steps:
+                last_evaled = step
+                self._drain_metrics()
                 self.evaluate_and_save(step)
             if step >= t.num_train_steps:
                 break
-        self.evaluate_and_save(step)
+        self._drain_metrics()
+        self.evaluate_and_save(micro // accum)
         return self.state
 
-    def _flush(self, pending: list, spec: TaskSpec, step: int, task_name: str) -> int:
+    def _flush(self, pending: list, spec: TaskSpec, micro: int, task_name: str) -> int:
         """Run buffered batches as single steps (task switch before a full
         fused window)."""
         for b in pending:
             self.state, metrics = self.train_step(self.state, b, self.rng, spec)
-            step += 1
-            for k, v in metrics.items():
-                self._meter(f"{task_name}/{k}")(float(v))
-        return step
+            micro += 1
+            self._record(task_name, metrics)
+        return micro
 
     def evaluate_and_save(self, step: int) -> None:
         best_name = None
