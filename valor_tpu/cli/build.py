@@ -160,12 +160,16 @@ def _merge_params(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]
     return out
 
 
-def build_model_and_state(cfg: Config, example_batches):
+def build_model_and_state(cfg: Config, example_batches, mesh=None):
     """example_batches: {task_str: device_batch} — one per distinct train
     task.  The reference constructs every submodule unconditionally
     (torch nn.Module __init__); flax init only creates params the traced
     task touches, so a multi-task mix must init over EVERY task and merge
-    (same seed -> identical shared params, plus each task's own heads)."""
+    (same seed -> identical shared params, plus each task's own heads).
+
+    With a `mesh`, params are placed with tensor-parallel PartitionSpecs
+    (replication when mesh model=1) BEFORE the optimizer init so the adam
+    moments inherit the same shardings."""
     from valor_tpu.train.optimizer import build_optimizer
     from valor_tpu.train.step import TrainState
 
@@ -189,6 +193,10 @@ def build_model_and_state(cfg: Config, example_batches):
         params = _merge_params(params, p) if params else p
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
+    if mesh is not None:
+        from valor_tpu.parallel.partition import shard_params
+
+        params = shard_params(params, mesh)
     tx = build_optimizer(
         params,
         cfg.train,

@@ -106,6 +106,15 @@ def make_validate_fn(cfg: Config, model, tokenizers):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when an early import (sitecustomize) froze
+    # jax's config defaults before this process's env was consulted — the
+    # update is a no-op once a backend is initialised
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
     if os.environ.get("VALOR_DEBUG_NANS"):
@@ -147,7 +156,17 @@ def main(argv=None):
         example_batches[task_str] = {
             k: v for k, v in batch.items() if k not in host_keys
         }
-    model, tx, state = build_model_and_state(cfg, example_batches)
+
+    # device mesh: data-parallel over all chips (the reference's 8-GPU DDP,
+    # train_utils.py:232) x optional tensor-parallel `model` axis
+    from valor_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=max(cfg.train.model_shards, 1))
+    LOGGER.info(
+        f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']} "
+        f"({jax.process_count()} hosts)"
+    )
+    model, tx, state = build_model_and_state(cfg, example_batches, mesh=mesh)
 
     saver = ModelSaver(out_dir, cfg.train.remove_before_ckpt)
     if cfg.train.resume:
@@ -167,17 +186,19 @@ def main(argv=None):
         import numpy as np
 
         path = cfg.train.checkpoint
+        from valor_tpu.parallel.partition import shard_params
+
         if cfg.train.pretrain_dir:
             sub = ModelSaver(cfg.train.pretrain_dir, remove_before_ckpt=False)
             restored = sub.restore(state)
             if restored:
                 params = adapt_pretrained_params(restored["params"], state.params)
-                state = state.replace(params=params)
+                state = state.replace(params=shard_params(params, mesh))
         elif path and os.path.exists(path):
             from valor_tpu.models.convert import load_converted
 
             params = adapt_pretrained_params(load_converted(path), state.params)
-            state = state.replace(params=params)
+            state = state.replace(params=shard_params(params, mesh))
 
     validate_fn = make_validate_fn(cfg, model, tokenizers) if cfg.data_val else None
     if cfg.train.zero_shot:
@@ -202,7 +223,9 @@ def main(argv=None):
         scorer = Scorer(flow.datasets[0].txt, ids, tokenizers[0])
 
     trainer = Trainer(
-        cfg, model, tx, state, meta, validate_fn=validate_fn, saver=saver, scorer=scorer
+        cfg, model, tx, state, meta,
+        validate_fn=validate_fn, saver=saver, scorer=scorer,
+        mesh=mesh, prefetch=cfg.train.prefetch,
     )
     trainer.run()
 

@@ -156,6 +156,8 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     dataset_mix_type: str = "random"  # random | accum (round-robin)
     train_inner_steps: int = 1  # steps fused per jit call (lax.scan)
+    model_shards: int = 1  # tensor-parallel axis size (mesh = data x model)
+    prefetch: bool = True  # keep one device batch in flight (H2D overlap)
     seed: int = 42
     valid_steps: int = 1000
     valid_freq: int = 10

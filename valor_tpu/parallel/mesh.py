@@ -27,6 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_warned_replicated: set = set()  # one warning per batch key (shard_batch)
+
 
 def make_mesh(
     n_data: Optional[int] = None,
@@ -53,16 +55,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with batch-dim sharding over `data`."""
+    """Place a host batch with batch-dim sharding over `data`.
+
+    * single-host: async ``device_put`` (overlaps the running step),
+    * multi-host: each process holds only ITS rows (the loaders shard by
+      process, data/loader.py ShardedBatchSampler), so the global array is
+      assembled with ``jax.make_array_from_process_local_data`` — a plain
+      device_put of host-local rows cannot form a global array across DCN.
+    * non-array leaves (ids, raw answer strings, ...) pass through on host.
+    """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
+    multihost = jax.process_count() > 1
 
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+    def put(key, x):
+        if not hasattr(x, "ndim"):
+            return x
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        if multihost:
+            x = np.asarray(x)
+            if key == "tile_index":
+                # local question indices -> global rows: each process's
+                # media rows land at offset p * Q_local in the global array
+                x = x + jax.process_index() * _local_rows(batch)
+            return jax.make_array_from_process_local_data(sh, x)
+        if x.shape[0] % mesh.shape[DATA_AXIS] == 0:
             return jax.device_put(x, sh)
+        if key not in _warned_replicated and x.ndim > 1:
+            _warned_replicated.add(key)
+            from valor_tpu.core.logging import LOGGER
+
+            LOGGER.warning(
+                f"batch key {key!r} (dim0={x.shape[0]}) is not divisible by "
+                f"the data axis ({mesh.shape[DATA_AXIS]}); replicating — "
+                "data parallelism is OFF for this array"
+            )
         return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(put, batch)
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put("", x), batch)
+
+
+def _local_rows(batch) -> int:
+    """Per-process media row count for tile_index offsetting."""
+    for key in ("video_pixels", "audio_spectrograms"):
+        if batch.get(key) is not None:
+            return batch[key].shape[0]
+    return 0
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -39,12 +39,31 @@ class Trainer:
         validate_fn: Optional[Callable[[Any, int], Dict[str, Dict[str, float]]]] = None,
         saver=None,
         scorer: Optional[Scorer] = None,
+        mesh=None,
+        prefetch: bool = True,
     ):
         self.cfg = cfg
         self.model = model
         self.tx = tx
         self.state = state
+        self.mesh = mesh
         self.meta_loader = meta_loader
+        # H2D overlap (reference PrefetchLoader, data/loader.py:154-212):
+        # one batch is always in flight; with a mesh the put also shards the
+        # batch dim over `data` so the jitted step sees global arrays.
+        if prefetch and meta_loader is not None and not isinstance(meta_loader, list):
+            from valor_tpu.data.loader import DevicePrefetcher
+
+            if mesh is not None:
+                from valor_tpu.parallel.mesh import shard_batch
+
+                put = lambda b: shard_batch(mesh, b)  # noqa: E731
+            else:
+                put = lambda b: {  # noqa: E731
+                    k: jax.device_put(v) if hasattr(v, "ndim") else v
+                    for k, v in b.items()
+                }
+            self.meta_loader = DevicePrefetcher(iter(meta_loader), put)
         self.validate_fn = validate_fn
         self.saver = saver
         self.train_step = make_train_step(model, tx)
