@@ -386,3 +386,101 @@ class TestVideoSwinParity:
         out_t = out.transpose(0, 4, 1, 2, 3)
         assert out_t.shape == ref_out.shape
         np.testing.assert_allclose(out_t, ref_out, rtol=5e-4, atol=5e-4)
+
+
+class TestTaskPromptParity:
+    """Prompted forwards vs the reference (use_task_prompt subsystem).
+
+    reference: model/modeling.py:355-369 builds [BOS]+sentence+[EOS] prompt
+    tokens; model/bert.py:772-783 embeds them with the 1-row prompt-type
+    embedding; model/clip.py:386-394 likewise for the CLIP text tower; QA
+    splices the unwrapped body into the question (pretrain.py:1270-1273).
+    """
+
+    def test_bert_fusion_prompted(self, reference_modules):
+        import jax
+        import jax.numpy as jnp
+
+        helper = TestBertFusionParity()
+        net = helper._build_ref(reference_modules, "va_concate")
+        model = helper._ours("va_concate")
+        rng = np.random.RandomState(0)
+        tokens = np.array([[5, 9, 11, 3, 0, 0], [7, 2, 6, 1, 0, 0]], np.int32)
+        prompt = np.array([[2, 13, 17, 4]] * 2, np.int32)  # [BOS x x EOS]
+        video = rng.randn(2, 4, 16).astype(np.float32)
+        audio = rng.randn(2, 3, 16).astype(np.float32)
+        with torch.no_grad():
+            ref = net(
+                torch.from_numpy(tokens.astype(np.int64)),
+                task_prompt=torch.from_numpy(prompt.astype(np.int64)),
+                video_feat=torch.from_numpy(video),
+                audio_feat=torch.from_numpy(audio),
+                casual=True,
+            ).numpy()
+        init = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(tokens),
+            task_prompt=jnp.asarray(prompt),
+            video_feat=jnp.asarray(video), audio_feat=jnp.asarray(audio),
+            causal=True,
+        )["params"]
+        params = helper._convert(net, init)
+        out = np.asarray(
+            model.apply(
+                {"params": params}, jnp.asarray(tokens),
+                task_prompt=jnp.asarray(prompt),
+                video_feat=jnp.asarray(video), audio_feat=jnp.asarray(audio),
+                causal=True,
+            )
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+    def test_clip_text_prompted_with_media(self, reference_modules):
+        """Prompted CLIP text with media concat (clip.py:386-399)."""
+        ref_clip, _ = reference_modules
+        torch.manual_seed(0)
+        clip = ref_clip.CLIP(
+            embed_dim=16, image_resolution=32, vision_layers=1, vision_width=64,
+            vision_patch_size=16, context_length=16, vocab_size=64,
+            transformer_width=32, transformer_heads=2, transformer_layers=2,
+        ).float().eval()
+        rng = np.random.RandomState(1)
+        tokens = np.array([[5, 9, 11, 3, 0, 0], [7, 2, 6, 0, 0, 0]], np.int64)
+        prompt = np.array([[2, 13, 4]] * 2, np.int64)
+        video = rng.randn(2, 4, 32).astype(np.float32)
+        with torch.no_grad():
+            ref = clip.encode_text(
+                torch.from_numpy(tokens),
+                task_prompt=torch.from_numpy(prompt),
+                video_feat=torch.from_numpy(video),
+                casual=True,
+            ).numpy()
+
+        import jax
+        import jax.numpy as jnp
+
+        import valor_tpu.models.convert as C
+        from valor_tpu.models.clip import CLIPTextConfig, CLIPTextTransformer
+        from valor_tpu.train.checkpoints import adapt_pretrained_params
+
+        sd = {k: v.float().numpy() for k, v in clip.state_dict().items()}
+        tree = C.convert_clip(sd, resolution=32)["clip_text"]
+        cfg = CLIPTextConfig(
+            width=32, layers=2, vocab_size=64, context_length=16, embed_dim=16,
+            num_heads=2,
+        )
+        model = CLIPTextTransformer(cfg, dtype=jnp.float32)
+        kw = dict(
+            task_prompt=jnp.asarray(prompt.astype(np.int32)),
+            video_feat=jnp.asarray(video),
+            causal=True,
+        )
+        init = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(tokens.astype(np.int32)), **kw
+        )["params"]
+        params = adapt_pretrained_params(tree, init)
+        out = np.asarray(
+            model.apply({"params": params}, jnp.asarray(tokens.astype(np.int32)), **kw)
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)

@@ -104,9 +104,12 @@ def collate_for(task: str, training: bool):
 
 
 def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
+    from valor_tpu.data.prompts import maybe_prompt_table, prompted_collate
+
     loaders: Dict[str, Tuple[Any, int]] = {}
     n_hosts = jax.process_count()
     host = jax.process_index()
+    prompts = maybe_prompt_table(cfg.model, tokenizers)
     for i, flow in enumerate(cfg.data_train):
         dataset = build_dataset(flow, cfg.model, tokenizers, training=True)
         sampler = ShardedBatchSampler(
@@ -117,7 +120,10 @@ def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
             shuffle=True,
             seed=seed,
         )
-        loader = DataLoader(dataset, sampler, collate_for(flow.task, True), n_workers=1)
+        collate = prompted_collate(
+            collate_for(flow.task, True), prompts, parse_task(flow.task)
+        )
+        loader = DataLoader(dataset, sampler, collate, n_workers=1)
         name = f"{flow.task}--{flow.datasets[0].name or i}"
         loaders[name] = (loader, max(flow.epoch, 1))
         LOGGER.info(
@@ -132,7 +138,10 @@ def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
 
 
 def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, Any]]:
+    from valor_tpu.data.prompts import maybe_prompt_table, prompted_collate
+
     out = []
+    prompts = maybe_prompt_table(cfg.model, tokenizers)
     for i, flow in enumerate(cfg.data_val):
         dataset = build_dataset(flow, cfg.model, tokenizers, training=False)
         sampler = ShardedBatchSampler(
@@ -142,7 +151,10 @@ def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, An
             n_shards=jax.process_count(),
             shuffle=False,
         )
-        loader = DataLoader(dataset, sampler, collate_for(flow.task, False), n_workers=1)
+        collate = prompted_collate(
+            collate_for(flow.task, False), prompts, parse_task(flow.task)
+        )
+        loader = DataLoader(dataset, sampler, collate, n_workers=1)
         name = flow.name or (flow.datasets[0].name if flow.datasets else str(i))
         out.append((name, loader, parse_task(flow.task)))
     return out

@@ -150,6 +150,10 @@ def convert_bert(path_or_sd, target: str = "multimodal_encoder") -> Dict[str, An
             "LayerNorm": _ln(sd, "embeddings.LayerNorm"),
         }
     }
+    # task-prompt type embedding (reference: model/bert.py:181, a 1-row
+    # nn.Embedding used when token_type == 'prompt')
+    if "embeddings.prompt_embedding.weight" in sd:
+        enc["embeddings"]["prompt_embedding"] = sd["embeddings.prompt_embedding.weight"]
     n_layers = len({k.split(".")[2] for k in sd if k.startswith("encoder.layer.")})
     for i in range(n_layers):
         p = f"encoder.layer.{i}"

@@ -63,6 +63,15 @@ def dataclasses_replace_no_cross(bert_cfg: BertConfig) -> BertConfig:
     return _dc.replace(bert_cfg, has_cross_attn=False, cross_attn_type=None)
 
 
+def bcast_prompt(prompt: Optional[jnp.ndarray], batch: int) -> Optional[jnp.ndarray]:
+    """Task prompts are injected once per task as [1, P] (data/prompts.py);
+    broadcast to the batch on device (the reference .expand()s on host,
+    modeling.py:368)."""
+    if prompt is None or prompt.shape[0] == batch:
+        return prompt
+    return jnp.broadcast_to(prompt, (batch,) + prompt.shape[1:])
+
+
 class FineWeight(nn.Module):
     """Per-token weight MLP (reference: model/pretrain.py:104-112)."""
 
@@ -228,6 +237,7 @@ class VALORModel(nn.Module):
     def encode_text(
         self, tokens: jnp.ndarray, task_prompt: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        task_prompt = bcast_prompt(task_prompt, tokens.shape[0])
         if self.is_clip_text:
             out = self.clip_text(tokens, task_prompt=task_prompt, causal=True)
         else:
@@ -417,6 +427,7 @@ class VALORModel(nn.Module):
         cross_kv_list: Optional[list] = None,
     ) -> jnp.ndarray:
         """Run fusion encoder and score all text positions. [B, N, V]."""
+        prompt_tokens = bcast_prompt(prompt_tokens, txt_tokens.shape[0])
         out = self.multimodal_encoder(
             txt_tokens,
             task_prompt=prompt_tokens,
@@ -442,6 +453,9 @@ class VALORModel(nn.Module):
     def fusion_ctx_kv(self, prompt_tokens, video_input, audio_input):
         """Precompute [prompt|media] self-attn K/V for in-sequence decode
         (multimodal_use_cross_attn=False)."""
+        media = video_input if video_input is not None else audio_input
+        if media is not None:
+            prompt_tokens = bcast_prompt(prompt_tokens, media.shape[0])
         return self.multimodal_encoder.precompute_ctx_kv(
             prompt_tokens, video_input, audio_input
         )
@@ -546,8 +560,13 @@ class VALORModel(nn.Module):
             for g in task.mlm_groups:
                 v = video_input if "v" in g else None
                 a = audio_input if "a" in g else None
+                # per-group MLM prompts (reference uses a DIFFERENT sentence
+                # per modality group, pretrain.py:492/505/516)
+                mlm_prompt = batch.get(f"prompt_tokens_mlm_{g}")
+                if mlm_prompt is None:
+                    mlm_prompt = batch.get("prompt_tokens_mlm")
                 logits = self.fusion_logits(
-                    txt_input, batch.get("prompt_tokens_mlm"), v, a, causal=False
+                    txt_input, mlm_prompt, v, a, causal=False
                 )
                 if compute_loss:
                     ls.append(L.masked_cross_entropy(logits, txt_labels))
