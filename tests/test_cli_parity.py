@@ -1,0 +1,208 @@
+"""CLI/config parity: optimizer choices, fp16->dtype, valid_freq, pretrain
+hps.json inheritance, QA submission dumps.
+
+reference: optim/misc.py:80-92 (--optim), train_utils.py:512 (valid_freq),
+train_utils.py:136-144 (cover_cfg), test.py:67-114 (QA submissions).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import tiny_model_config
+from valor_tpu.core.config import (
+    Config,
+    TrainConfig,
+    inherit_pretrain_config,
+    load_config,
+)
+from valor_tpu.train.optimizer import build_optimizer
+
+torch = pytest.importorskip("torch")
+
+
+def _flat_params():
+    rng = np.random.RandomState(0)
+    return {
+        "dense": {"kernel": rng.randn(4, 3).astype(np.float32), "bias": rng.randn(3).astype(np.float32)},
+    }
+
+
+def _torch_step(optim_name, params, grads, lr, wd, betas, eps):
+    tp = {
+        k2: torch.nn.Parameter(torch.from_numpy(v2.copy()))
+        for k2, v2 in params["dense"].items()
+    }
+    groups = [
+        {"params": [tp["kernel"]], "weight_decay": wd},
+        {"params": [tp["bias"]], "weight_decay": 0.0},  # no-decay group
+    ]
+    cls = {"adam": torch.optim.Adam, "adamax": torch.optim.Adamax}[optim_name]
+    opt = cls(groups, lr=lr, betas=betas, eps=eps)
+    tp["kernel"].grad = torch.from_numpy(grads["dense"]["kernel"].copy())
+    tp["bias"].grad = torch.from_numpy(grads["dense"]["bias"].copy())
+    opt.step()
+    return {k2: v2.detach().numpy() for k2, v2 in tp.items()}
+
+
+class TestOptimizerChoices:
+    @pytest.mark.parametrize("optim_name", ["adam", "adamax"])
+    def test_matches_torch(self, optim_name):
+        """One optimizer step equals torch Adam/Adamax with per-group L2
+        (the reference passes param groups with weight_decay to torch's
+        coupled-L2 optimizers, optim/misc.py:86-92)."""
+        params = _flat_params()
+        rng = np.random.RandomState(1)
+        grads = {
+            "dense": {
+                "kernel": rng.randn(4, 3).astype(np.float32),
+                "bias": rng.randn(3).astype(np.float32),
+            }
+        }
+        lr, wd, betas = 1e-2, 0.01, (0.9, 0.98)
+        cfg = TrainConfig(
+            optim=optim_name,
+            learning_rate=lr,
+            clip_lr=lr,
+            clip_lr_text=lr,
+            weight_decay=wd,
+            betas=betas,
+            grad_norm=1e9,  # disable clipping for the comparison
+            num_train_steps=100,
+            warmup_ratio=1e-9,  # warmup over before step 1 -> ratio 1.0
+            scheduler="warmup_constant",
+        )
+        jp = jax.tree_util.tree_map(jnp.asarray, params)
+        tx = build_optimizer(jp, cfg)
+        state = tx.init(jp)
+        updates, _ = tx.update(jax.tree_util.tree_map(jnp.asarray, grads), state, jp)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, jp, updates)
+        eps = 1e-8
+        ref = _torch_step(optim_name, params, grads, lr, wd, betas, eps)
+        np.testing.assert_allclose(
+            np.asarray(new["dense"]["kernel"]), ref["kernel"], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new["dense"]["bias"]), ref["bias"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_invalid_optim_raises(self):
+        cfg = TrainConfig(optim="sgd", num_train_steps=10)
+        with pytest.raises(ValueError, match="invalid optimizer"):
+            build_optimizer({"w": jnp.zeros(3)}, cfg)
+
+
+class TestConfigKnobs:
+    def test_fp16_maps_to_dtype(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps({"fp16": False}))
+        assert load_config(str(p)).model.dtype == "float32"
+        p.write_text(json.dumps({"fp16": True}))
+        assert load_config(str(p)).model.dtype == "bfloat16"
+        # explicit dtype wins over fp16
+        p.write_text(json.dumps({"fp16": False, "dtype": "bfloat16"}))
+        assert load_config(str(p)).model.dtype == "bfloat16"
+
+    def test_valid_freq_derives_valid_steps(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps({"num_train_steps": 1000, "valid_freq": 10}))
+        assert load_config(str(p)).train.valid_steps == 99  # 1000//10 - 1
+        # explicit valid_steps wins
+        p.write_text(
+            json.dumps({"num_train_steps": 1000, "valid_freq": 10, "valid_steps": 50})
+        )
+        assert load_config(str(p)).train.valid_steps == 50
+
+    def test_pretrain_config_inheritance(self, tmp_path):
+        """Finetuning from --pretrain_dir copies the architecture keys from
+        the pretrain run's hps.json (reference cover_cfg)."""
+        from valor_tpu.core.config import config_to_json
+
+        pre_cfg = Config(
+            model=tiny_model_config(
+                contra_type="coarse", cross_attn_type="va_parallel", use_task_prompt=True
+            )
+        )
+        (tmp_path / "hps.json").write_text(config_to_json(pre_cfg))
+        cfg = Config(model=tiny_model_config())
+        cfg.train.pretrain_dir = str(tmp_path)
+        inherited = inherit_pretrain_config(cfg)
+        assert cfg.model.contra_type == "coarse"
+        assert cfg.model.cross_attn_type == "va_parallel"
+        assert cfg.model.use_task_prompt is True
+        assert set(inherited) >= {"contra_type", "cross_attn_type", "use_task_prompt"}
+
+    def test_every_config_field_has_a_reader(self):
+        """No dead knobs: every ModelConfig/TrainConfig field name appears
+        somewhere in the package outside config.py."""
+        import dataclasses
+        import subprocess
+
+        from valor_tpu.core.config import ModelConfig, TrainConfig
+
+        fields = [f.name for f in dataclasses.fields(ModelConfig)] + [
+            f.name for f in dataclasses.fields(TrainConfig)
+        ]
+        root = os.path.join(os.path.dirname(__file__), "..", "valor_tpu")
+        src = subprocess.run(
+            ["grep", "-rho", "--include=*.py", r"\.\w\+", root],
+            capture_output=True, text=True,
+        ).stdout
+        used = set(m[1:] for m in src.split())
+        dead = [f for f in fields if f not in used]
+        assert not dead, f"config fields with no reader: {dead}"
+
+
+class TestQASubmissionDumps:
+    def test_submission_files_written(self, tmp_path):
+        """validate_qa writes gt/pred/submission json in the reference
+        format when question_ids are present (test.py:104-114)."""
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.data.tokenizers.wordpiece import BertTokenizer
+        from valor_tpu.eval.validate import validate_qa
+        from valor_tpu.models.valor import VALORModel
+        from tests.test_data import TINY_VOCAB
+
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(TINY_VOCAB))
+        tok = BertTokenizer(str(vocab))
+
+        cfg = tiny_model_config(
+            fusion_vocab=128, txt_encoder_type="bert_base_uncased", init_clip_head=False
+        )
+        model = VALORModel(cfg)
+        spec = parse_task("qa%tv")
+        rng = np.random.RandomState(0)
+        batch = {
+            "ids": ["v0", "v1"],
+            "question_prompt": np.array(
+                [[101, 7, 8, 102, 0], [101, 9, 10, 102, 0]], np.int32
+            ),
+            "bert_tokens": np.array([[103, 0, 0], [103, 0, 0]], np.int32),
+            "video_pixels": rng.randn(2, 2, 32, 32, 3).astype(np.float32),
+            "answers": ["cat", "dog"],
+            "question_ids": [17, 42],
+            "tile_index": np.arange(2, dtype=np.int32),
+        }
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            {k: v for k, v in batch.items() if k not in ("ids", "answers", "question_ids")},
+            spec, True, True,
+        )["params"]
+        out_dir = tmp_path / "results"
+        report = validate_qa(
+            model, params, iter([dict(batch)]), spec, tok,
+            result_dir=str(out_dir), step=7, dset_name="fixqa", max_len=3,
+        )
+        assert "accuracy" in report
+        files = os.listdir(out_dir)
+        assert "step7_gt.json" in files
+        assert "step7_tv_pred.json" in files
+        assert "step7_tv_pred_submited_fixqa.json" in files
+        submit = json.load(open(out_dir / "step7_tv_pred_submited_fixqa.json"))
+        assert [s["question_id"] for s in submit] == [17, 42]
+        assert all("answer" in s for s in submit)

@@ -160,6 +160,82 @@ def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, An
     return out
 
 
+# public-checkpoint filenames the reference hardcodes
+# (model/modeling.py:514,560-598,621)
+_CLIP_WEIGHTS = {
+    "clip_vit_base_16": "clip-vit-base-16.pt",
+    "clip_vit_base_32": "clip-vit-base-32.pt",
+    "clip_vit_large_14": "clip-vit-large-14.pt",
+    "clip_vit_large_14_336": "clip-vit-large-14-336px.pt",
+}
+_SWIN_WEIGHTS = {
+    "videoswin": "ckpt_video-swin.pt",
+    "videoswin_base_k400_1k": "videoswin_base_k400_1k.pth",
+    "videoswin_base_k400_22k": "videoswin_base_k400_22k.pth",
+    "videoswin_base_k600_22k": "videoswin_base_k600_22k.pth",
+}
+_AST_WEIGHTS = "audioset_10_10_0.4593.pth"
+_BERT_WEIGHTS = "bert-base-uncased.bin"
+
+
+def initialize_encoder_weights(mcfg: ModelConfig, params):
+    """Load public encoder checkpoints at model construction.
+
+    ``initial_vision`` gates CLIP/VideoSwin (+AST) init and
+    ``initial_multimodal`` gates BERT (+cls head) init — reference:
+    model/modeling.py:560-660 (its `initial_vision` flag is parsed but
+    never read, train_utils.py:656; here it gates as evidently intended).
+    Weight files are looked up under $VALOR_PRETRAINED_DIR (default
+    ``pretrained_weights/``); missing files are skipped with a log line so
+    random-init runs (tests, ablations) proceed.
+    """
+    import valor_tpu.models.convert as C
+    from valor_tpu.train.checkpoints import adapt_pretrained_params
+
+    pdir = os.environ.get("VALOR_PRETRAINED_DIR", "pretrained_weights")
+
+    def path_of(fname):
+        p = os.path.join(pdir, fname)
+        return p if fname and os.path.exists(p) else None
+
+    trees = []
+    if mcfg.initial_vision:
+        if mcfg.video_encoder_type.startswith("clip") or mcfg.txt_encoder_type.startswith("clip"):
+            name = mcfg.video_encoder_type if mcfg.video_encoder_type.startswith("clip") else mcfg.txt_encoder_type
+            p = path_of(_CLIP_WEIGHTS.get(name, ""))
+            if p:
+                trees.append(("clip", C.convert_clip(p, resolution=mcfg.video_resolution)))
+        if mcfg.video_encoder_type.startswith("videoswin"):
+            p = path_of(_SWIN_WEIGHTS.get(mcfg.video_encoder_type, ""))
+            if p:
+                trees.append(("videoswin", C.convert_videoswin(p)))
+        p = path_of(_AST_WEIGHTS)
+        if p:
+            trees.append(
+                (
+                    "ast",
+                    C.convert_ast(
+                        p,
+                        melbins=mcfg.audio_melbins,
+                        target_length=mcfg.audio_target_length,
+                        patch=mcfg.audio_patch_size,
+                    ),
+                )
+            )
+    if mcfg.initial_multimodal:
+        p = path_of(_BERT_WEIGHTS)
+        if p:
+            trees.append(("bert", C.convert_bert(p)))
+    for name, tree in trees:
+        LOGGER.info(f"initialising {name} from {pdir}")
+        params = adapt_pretrained_params(tree, params)
+    if not trees:
+        LOGGER.info(
+            f"no public encoder weights under {pdir!r}; encoders random-init"
+        )
+    return params
+
+
 def _merge_params(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]:
     """Deep-merge two flax param dicts (same-seed inits agree on shared
     leaves; the merge only adds modules the first task never traced)."""
@@ -205,6 +281,13 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
         params = _merge_params(params, p) if params else p
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
+    params = initialize_encoder_weights(cfg.model, params)
+    # attention implementation: einsum is the measured-faster default at
+    # VALOR sequence lengths (PERF_NOTES.md); the flag routes the Pallas
+    # flash kernel when requested
+    from valor_tpu.ops.layers import set_attention_impl
+
+    set_attention_impl("flash" if cfg.model.use_flash_attention else "einsum")
     if mesh is not None:
         from valor_tpu.parallel.partition import shard_params
 

@@ -94,7 +94,11 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                 reports[name] = V.validate_qa(
                     model, params, iter(loader), task, bert_tok, ans,
                     caption_type=cfg.model.caption_type,
+                    max_len=cfg.model.max_generation_len,
                     beam_size=cfg.model.beam_size_qa,
+                    result_dir=os.path.join(out_dir, f"results_test_{name}"),
+                    step=step,
+                    dset_name=name,
                 )
             elif task.family == "pt":
                 reports[name] = V.validate_pt(
@@ -122,6 +126,12 @@ def main(argv=None):
 
         enable_debug(nan_checks=True)
     cfg = parse_cli(argv)
+    if cfg.train.pretrain_dir:
+        from valor_tpu.core.config import inherit_pretrain_config
+
+        inherited = inherit_pretrain_config(cfg)
+        if inherited:
+            LOGGER.info(f"inherited from pretrain hps.json: {inherited}")
     import random as _random
 
     _random.seed(cfg.train.seed + jax.process_index())

@@ -47,7 +47,8 @@ class ModelConfig:
     video_resolution: int = 224
     frozen_vision: bool = False
     initial_vision: bool = True
-    videoswin_timestride: int = 1
+    # NOTE: the reference parses --videoswin_timestride but never reads it
+    # (train_utils.py:666 is its only occurrence); deliberately not carried.
 
     # audio (AST patching over log-mel)
     audio_melbins: int = 64
@@ -99,8 +100,10 @@ class ModelConfig:
     checkpointing: bool = False  # jax.checkpoint (remat) per encoder layer
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
 
-    # Pallas kernel switches (TPU fast path; pure-XLA fallback always exists)
-    use_flash_attention: bool = True
+    # Pallas kernel switches (TPU fast path; pure-XLA fallback always
+    # exists).  einsum attention measured faster at VALOR sequence lengths
+    # (PERF_NOTES.md), so flash is opt-in.
+    use_flash_attention: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -168,7 +171,9 @@ class TrainConfig:
     first_eval: bool = True
     pretrain_dir: Optional[str] = None
     checkpoint: Optional[str] = None
-    fp16: bool = True  # kept for config parity; TPU path uses bf16
+    # NOTE: the reference's `fp16` flag (apex AMP O2) maps to the model's
+    # activation dtype here; load_config translates fp16 -> dtype
+    # (true -> bfloat16, false -> float32) when dtype is not given.
 
 
 @dataclass
@@ -240,6 +245,13 @@ def load_config(
         if "data_cfg" in flat:
             data_cfg = flat.pop("data_cfg")
 
+    # reference `fp16` (apex AMP) -> activation dtype, unless dtype given
+    if "fp16" in flat:
+        fp16 = flat.pop("fp16")
+        if isinstance(fp16, str):
+            fp16 = fp16.lower() in ("1", "true", "yes")
+        flat.setdefault("dtype", "bfloat16" if fp16 else "float32")
+
     model_kw, train_kw = {}, {}
     model_fields = {f.name: f for f in dataclasses.fields(ModelConfig)}
     train_fields = {f.name: f for f in dataclasses.fields(TrainConfig)}
@@ -259,7 +271,55 @@ def load_config(
         data_val=[_flow_cfg(d) for d in data_cfg.get("val", [])],
     )
     _apply_convenience_overrides(cfg, extra)
+    # eval cadence from valid_freq when valid_steps not given explicitly
+    # (reference: train_utils.py:512 unconditionally derives
+    # valid_steps = num_train_steps // valid_freq - 1)
+    if (
+        "valid_steps" not in train_kw
+        and cfg.train.num_train_steps > 0
+        and cfg.train.valid_freq > 0
+    ):
+        cfg.train.valid_steps = max(
+            cfg.train.num_train_steps // cfg.train.valid_freq - 1, 1
+        )
     return cfg
+
+
+# architecture keys copied from a pretrain run's hps.json when finetuning
+# from --pretrain_dir (reference: train_utils.py:136-144 cover_cfg; the two
+# reference keys with no counterpart here — has_vafusion_encoder,
+# task_pormpt_as_text [sic] — are dead in the reference as well)
+PRETRAIN_COVER_KEYS = (
+    "audio_melbins", "audio_patch_size", "audio_mean", "audio_std",
+    "audio_frame_shift", "audio_target_length", "video_encoder_type",
+    "txt_encoder_type", "multimodal_encoder_type", "audio_encoder_type",
+    "caption_type", "share_txt_and_multimodal", "contra_type",
+    "multimodal_use_cross_attn", "fineweight_type", "late_fusion",
+    "cross_attn_type", "use_task_prompt",
+)
+
+
+def inherit_pretrain_config(cfg: Config) -> list:
+    """Copy architecture keys from the pretrain run's hps.json onto cfg.model
+    so a finetune cannot silently build a mismatched architecture.  Returns
+    the list of keys actually inherited (for logging)."""
+    import os
+
+    pdir = cfg.train.pretrain_dir
+    if not pdir:
+        return []
+    for cand in (os.path.join(pdir, "hps.json"), os.path.join(pdir, "log", "hps.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                hps = json.load(f)
+            model_hps = hps.get("model", hps)  # our nested dump or flat
+            inherited = []
+            for k in PRETRAIN_COVER_KEYS:
+                if k in model_hps and getattr(cfg.model, k, None) != model_hps[k]:
+                    setattr(cfg.model, k, model_hps[k])
+                    inherited.append(k)
+            return inherited
+    return []
 
 
 # convenience flat flags -> nested data config mutation

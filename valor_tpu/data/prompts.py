@@ -109,7 +109,7 @@ class PromptTable:
 
 def maybe_prompt_table(model_cfg, tokenizers) -> Optional[PromptTable]:
     """PromptTable when use_task_prompt is on (reference: pretrain.py:82)."""
-    if not getattr(model_cfg, "use_task_prompt", False):
+    if not model_cfg.use_task_prompt:
         return None
     bert_tok, clip_tok = tokenizers
     return PromptTable(

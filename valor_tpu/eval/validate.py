@@ -172,16 +172,26 @@ def validate_qa(
     model, params, loader, task: TaskSpec, tokenizer,
     answers: Optional[Dict[str, Any]] = None,
     *, caption_type: str = "unimlm", max_len: int = 10, beam_size: int = 1,
+    result_dir: Optional[str] = None, step: int = 0, dset_name: str = "",
 ) -> Dict[str, float]:
-    """QA exact-match accuracy.  Ground-truth answers ride the batch when
-    the QA collate is used (data/vqa.py valorqa_collate_test); the
-    ``answers`` dict is a fallback for plain collates."""
+    """QA exact-match accuracy + submission dumps.
+
+    Ground-truth answers ride the batch when the QA collate is used
+    (data/vqa.py valorqa_collate_test); the ``answers`` dict is a fallback
+    for plain collates.  With ``result_dir`` set, writes the reference's
+    result files (test.py:67-114): ``step{N}_gt.json`` (ground truths),
+    ``step{N}_{g}_pred.json`` (answer strings) and — when the dataset
+    carries question_ids (VQAv2 test-std) —
+    ``step{N}_{g}_pred_submited_{dset}.json`` as
+    ``[{"question_id": ..., "answer": ...}]``.
+    """
     preds: List[str] = []
     gts: List[Any] = []
+    submit: List[Dict[str, Any]] = []
     for batch in loader:
         ids = batch.pop("ids")
         batch_answers = batch.pop("answers", None)
-        batch.pop("question_ids", None)
+        question_ids = batch.pop("question_ids", None)
         batch.pop("ids_txt", None)
         batch.pop("sample_num", None)
         out = gen.generate(
@@ -190,11 +200,35 @@ def validate_qa(
         )
         seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
         for j, seq in enumerate(seqs):
-            preds.append(decode_sequence(tokenizer, seq))
+            text = decode_sequence(tokenizer, seq)
+            preds.append(text)
+            if question_ids:
+                submit.append({"question_id": question_ids[j], "answer": text})
             if batch_answers is not None:
                 gts.append(batch_answers[j])
             else:
                 gts.append(answers[str(ids[min(j, len(ids) - 1)])])
+    if result_dir:
+        import json
+        import os
+
+        from valor_tpu.parallel.collectives import all_gather_lists
+
+        all_gts = all_gather_lists(gts)
+        all_preds = all_gather_lists(preds)
+        all_submit = all_gather_lists(submit) if submit else []
+        if jax.process_index() != 0:
+            return {"accuracy": qa_accuracy(preds, gts)}
+        os.makedirs(result_dir, exist_ok=True)
+        g = task.caption_groups[0]
+        with open(os.path.join(result_dir, f"step{step}_gt.json"), "w") as f:
+            json.dump(all_gts, f)
+        with open(os.path.join(result_dir, f"step{step}_{g}_pred.json"), "w") as f:
+            json.dump(all_preds, f)
+        if all_submit:
+            name = f"step{step}_{g}_pred_submited_{dset_name or 'qa'}.json"
+            with open(os.path.join(result_dir, name), "w") as f:
+                json.dump(all_submit, f)
     return {"accuracy": qa_accuracy(preds, gts)}
 
 

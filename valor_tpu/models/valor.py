@@ -130,7 +130,12 @@ class VALORModel(nn.Module):
             )
             self.video_dim = self.video_encoder.cfg.num_features
 
-        # ---- audio encoder (AST)
+        # ---- audio encoder (AST is the only reference-supported type,
+        # modeling.py:327-330 raises NotImplementedError otherwise)
+        if not c.audio_encoder_type.startswith("ast"):
+            raise NotImplementedError(
+                f"audio_encoder_type {c.audio_encoder_type!r} (only 'ast')"
+            )
         ast_cfg = ASTConfig(
             dropout=c.dropout,
             hidden_size=c.audio_hidden,

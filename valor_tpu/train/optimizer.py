@@ -170,16 +170,40 @@ def build_optimizer(
         schedules[f"{g}_nd"] = sched
 
     labels = label_params(params, cfg.new_params_name, frozen_vision, frozen_multimodal)
-    tx = optax.chain(
-        clip_by_global_norm_flat(cfg.grad_norm),
-        optax.scale_by_adam(
-            b1=cfg.betas[0],
-            b2=cfg.betas[1],
-            eps=1e-6,
-            mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
-        ),
-        scale_by_group_schedules(labels, schedules, cfg.weight_decay),
-    )
+    # optimizer family (reference: optim/misc.py:80-92 --optim):
+    #   adamw  -> decoupled weight decay (HF AdamW copy, eps 1e-6),
+    #   adam   -> torch Adam: L2 folded into the gradient BEFORE the
+    #             moments (coupled), eps 1e-8,
+    #   adamax -> torch Adamax (infinity-norm second moment), coupled L2.
+    chain = [clip_by_global_norm_flat(cfg.grad_norm)]
+    decoupled_wd = cfg.weight_decay
+    if cfg.optim in ("adam", "adamax"):
+        decoupled_wd = 0.0
+        if cfg.weight_decay:
+            wd_mask = jax.tree_util.tree_map(
+                lambda lbl: lbl.endswith("_wd"), labels
+            )
+            chain.append(optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask))
+    if cfg.optim == "adamax":
+        chain.append(optax.scale_by_adamax(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8))
+    elif cfg.optim == "adam":
+        chain.append(
+            optax.scale_by_adam(
+                b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
+                mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
+            )
+        )
+    elif cfg.optim == "adamw":
+        chain.append(
+            optax.scale_by_adam(
+                b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-6,
+                mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
+            )
+        )
+    else:
+        raise ValueError(f"invalid optimizer {cfg.optim!r} (adam|adamax|adamw)")
+    chain.append(scale_by_group_schedules(labels, schedules, decoupled_wd))
+    tx = optax.chain(*chain)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx
