@@ -32,6 +32,155 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_SAMPLES_PER_SEC_PER_GPU = 30.0
 
 
+def _build_data_fixture(n_ids=64, n_frames=8, size=(342, 256)):
+    """Realistic on-disk inputs: fps4-extracted-style JPEG frames + mono
+    wavs (reference layout, utils/extract_frame_and_wav_multiprocess.py)."""
+    import wave
+
+    from PIL import Image
+
+    root = "/tmp/valor_bench_data"
+    marker = os.path.join(root, f".done_{n_ids}_{n_frames}_{size[0]}")
+    if os.path.exists(marker):
+        return root
+    rng = np.random.RandomState(0)
+    for i in range(n_ids):
+        d = os.path.join(root, "frames", f"vid{i}")
+        os.makedirs(d, exist_ok=True)
+        for f in range(n_frames):
+            arr = rng.randint(0, 255, (size[1], size[0], 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"img_{f:04d}.jpg"), quality=87)
+        os.makedirs(os.path.join(root, "audio"), exist_ok=True)
+        with wave.open(os.path.join(root, "audio", f"vid{i}.wav"), "w") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes((rng.randn(22050 * 6) * 3000).astype(np.int16).tobytes())
+    with open(os.path.join(root, "ids.json"), "w") as f:
+        json.dump([f"vid{i}" for i in range(n_ids)], f)
+    open(marker, "w").write("ok")
+    return root
+
+
+def main_data_inclusive():
+    """BENCH_DATA=1: the BASELINE.json metric as defined — JPEG decode ->
+    frames/mel -> H2D -> fwd-bwd-update — through the real mappers and the
+    threaded DataLoader.  Reports end-to-end samples/s and the data-stall
+    fraction (host time blocked on the input pipeline)."""
+    from valor_tpu.core.config import TrainConfig
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.data.loader import DataLoader, DevicePrefetcher, ShardedBatchSampler
+    from valor_tpu.data.pipeline import AudioMapper, VALORDataset, VideoMapper, valor_collate
+    from valor_tpu.models.valor import VALORModel
+    from valor_tpu.train.optimizer import build_optimizer
+    from valor_tpu.train.step import TrainState, make_train_loop, make_train_step
+    from __graft_entry__ import _flagship_config, _synthetic_batch
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 64))
+    inner = int(os.environ.get("BENCH_INNER", 1))
+    n_workers = int(os.environ.get("BENCH_WORKERS", 16))
+    n_steps = int(os.environ.get("BENCH_STEPS", 12))
+
+    root = _build_data_fixture()
+    video_mapper = VideoMapper(
+        os.path.join(root, "frames"), resolution=224, sample_num=4, training=True
+    )
+    audio_mapper = AudioMapper(
+        os.path.join(root, "audio"), sample_num=1, melbins=64,
+        target_length=512, training=True,
+    )
+    ds = VALORDataset(os.path.join(root, "ids.json"), None, video_mapper, audio_mapper, True)
+    sampler = ShardedBatchSampler(len(ds), batch_size=batch_size, shuffle=True)
+    tok = _synthetic_batch(batch=batch_size)
+
+    def collate(items):
+        b = valor_collate(items)
+        n = b["video_pixels"].shape[0]
+        b["bert_tokens"] = np.asarray(tok["bert_tokens"][:n])
+        b["clip_tokens"] = np.asarray(tok["clip_tokens"][:n])
+        return b
+
+    loader = DataLoader(ds, sampler, collate, n_workers=n_workers, prefetch_batches=4)
+
+    cfg = _flagship_config()
+    model = VALORModel(cfg)
+    task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
+    example = _synthetic_batch(batch=batch_size)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        example, task, True, True,
+    )["params"]
+    tx = build_optimizer(params, TrainConfig(num_train_steps=10000))
+    state = TrainState.create(params, tx)
+    del params
+
+    if inner > 1:
+        loop = make_train_loop(model, tx, inner, donate=True)
+    else:
+        step_fn = make_train_step(model, tx, donate=True, with_grad_norm=False)
+
+    def device_put_batch(b):
+        return {
+            k: jax.device_put(np.asarray(v, np.float32) if v.dtype == np.float64 else v)
+            for k, v in b.items()
+            if hasattr(v, "ndim")
+        }
+
+    def batches():
+        while True:  # loop epochs
+            yield from iter(loader)
+
+    prefetched = DevicePrefetcher(batches(), device_put_batch)
+    it = iter(prefetched)
+    rng = jax.random.PRNGKey(2)
+
+    def one_call(i):
+        if inner > 1:
+            window = [next(it) for _ in range(inner)]
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *window)
+            return loop(state, stacked, jax.random.fold_in(rng, i), task)
+        return step_fn(state, next(it), jax.random.fold_in(rng, i), task)
+
+    # warmup: compile + donation round-trip
+    for w in range(2):
+        state, metrics = one_call(1000 + w)
+        _ = float(metrics["total_loss"])
+
+    times = []
+    t_all0 = time.perf_counter()
+    for i in range(n_steps):
+        t0 = time.perf_counter()
+        state, metrics = one_call(i)
+        _ = float(metrics["total_loss"])
+        times.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_all0
+
+    per_call = batch_size * inner
+    sps = per_call / min(times)
+    sps_mean = per_call * n_steps / wall
+    # compare against the synthetic-input step time if provided
+    synth = os.environ.get("BENCH_SYNTH_SPS")
+    stall = None
+    if synth:
+        stall = max(0.0, 1.0 - sps_mean / float(synth))
+    print(
+        json.dumps(
+            {
+                "metric": "valor_base_pretrain_samples_per_sec_per_chip_data_inclusive",
+                "value": round(sps, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC_PER_GPU, 2),
+                "mean_samples_per_sec": round(sps_mean, 2),
+                "batch": batch_size,
+                "inner_steps": inner,
+                "n_workers": n_workers,
+                "data_stall_vs_synth": round(stall, 4) if stall is not None else None,
+                "step_seconds": [round(t, 3) for t in times],
+            }
+        )
+    )
+
+
 def main():
     from valor_tpu.core.config import TrainConfig
     from valor_tpu.core.tasks import parse_task
@@ -44,12 +193,23 @@ def main():
 
     from valor_tpu.train.step import make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 64))  # 64: 80 samples/s measured
+    batch_size = int(os.environ.get("BENCH_BATCH", 64))
+    # K train steps fused into one XLA program via lax.scan: amortises the
+    # runtime's fixed ~0.4 s per-execution overhead (PERF_NOTES.md); this
+    # is the trainer's own train_inner_steps path, not a bench-only trick.
+    inner = int(os.environ.get("BENCH_INNER", 1))
     if os.environ.get("BENCH_FLASH"):
         from valor_tpu.ops.layers import set_attention_impl
 
         set_attention_impl("flash")
+    remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
+    if remat and remat != "none":
+        from valor_tpu.ops.layers import set_remat_policy
+
+        set_remat_policy(remat)
     cfg = _flagship_config()
+    if remat == "none":
+        cfg = cfg.replace(checkpointing=False)
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
     batch = _synthetic_batch(batch=batch_size)
@@ -61,35 +221,50 @@ def main():
         True,
         True,
     )["params"]
-    tcfg = TrainConfig(num_train_steps=10000)
+    mu_dtype = "bfloat16" if os.environ.get("BENCH_MU_BF16") else "float32"
+    tcfg = TrainConfig(num_train_steps=10000, adam_mu_dtype=mu_dtype)
     tx = build_optimizer(params, tcfg)
     state = TrainState.create(params, tx)
-    # memory discipline matters at batch 32 on one 16GB chip: drop the
-    # extra params reference and the grad-norm metric's transient concat
+    # memory discipline matters on one 16GB chip: drop the extra params
+    # reference and the grad-norm metric's transient concat
     del params
     gc.collect()
-    train_step = make_train_step(model, tx, donate=True, with_grad_norm=False)
+    if inner > 1:
+        loop = make_train_loop(model, tx, inner, donate=True)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (inner,) + x.shape), batch
+        )
+
+        def run_one(state, key):
+            return loop(state, stacked, key, task)
+
+    else:
+        train_step = make_train_step(model, tx, donate=True, with_grad_norm=False)
+
+        def run_one(state, key):
+            return train_step(state, batch, key, task)
 
     rng = jax.random.PRNGKey(2)
     # warmup: compile + first donated-buffer step (the runtime's first
     # donation round-trip is ~100x slower than steady state)
     for w in range(2):
-        state, metrics = train_step(state, batch, jax.random.fold_in(rng, 1000 + w), task)
+        state, metrics = run_one(state, jax.random.fold_in(rng, 1000 + w))
         _ = float(metrics["total_loss"])  # host readback = ground-truth sync
 
     # The driver's chip sits behind a shared tunnel whose throughput varies
     # >10x run to run (see PERF_NOTES.md); per-step min is the capability
     # estimate, mean is also reported.
-    n_steps = 10
+    n_calls = max(10 // inner, 4)
     times = []
-    for i in range(n_steps):
+    for i in range(n_calls):
         t0 = time.perf_counter()
-        state, metrics = train_step(state, batch, jax.random.fold_in(rng, i), task)
+        state, metrics = run_one(state, jax.random.fold_in(rng, i))
         _ = float(metrics["total_loss"])
         times.append(time.perf_counter() - t0)
 
-    sps = batch_size / min(times)
-    sps_mean = batch_size * n_steps / sum(times)
+    per_call = batch_size * inner
+    sps = per_call / min(times)
+    sps_mean = per_call * n_calls / sum(times)
     print(
         json.dumps(
             {
@@ -98,6 +273,8 @@ def main():
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC_PER_GPU, 2),
                 "mean_samples_per_sec": round(sps_mean, 2),
+                "batch": batch_size,
+                "inner_steps": inner,
                 "step_seconds": [round(t, 3) for t in times],
             }
         )
@@ -105,4 +282,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_DATA"):
+        main_data_inclusive()
+    else:
+        main()

@@ -76,7 +76,7 @@ class TestCaptionMetrics:
         hyps = {"1": "a cat sits", "2": "the dog runs"}
         refs = {"1": ["a cat sits", "a cat"], "2": ["the dog runs fast"]}
         rep = caption_eval(hyps, refs)
-        assert set(rep) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"}
+        assert set(rep) >= {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR"}
         # brevity penalty applies (hyp2 shorter than its ref)
         assert rep["Bleu_1"] > 0.8
 

@@ -123,7 +123,7 @@ def build_train_loaders(cfg: Config, tokenizers, seed: int = 0) -> MetaLoader:
         collate = prompted_collate(
             collate_for(flow.task, True), prompts, parse_task(flow.task)
         )
-        loader = DataLoader(dataset, sampler, collate, n_workers=1)
+        loader = DataLoader(dataset, sampler, collate, n_workers=max(flow.n_workers, 1))
         name = f"{flow.task}--{flow.datasets[0].name or i}"
         loaders[name] = (loader, max(flow.epoch, 1))
         LOGGER.info(
@@ -154,7 +154,7 @@ def build_val_loaders(cfg: Config, tokenizers) -> List[Tuple[str, DataLoader, An
         collate = prompted_collate(
             collate_for(flow.task, False), prompts, parse_task(flow.task)
         )
-        loader = DataLoader(dataset, sampler, collate, n_workers=1)
+        loader = DataLoader(dataset, sampler, collate, n_workers=max(flow.n_workers, 1))
         name = flow.name or (flow.datasets[0].name if flow.datasets else str(i))
         out.append((name, loader, parse_task(flow.task)))
     return out
@@ -261,6 +261,14 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     from valor_tpu.train.optimizer import build_optimizer
     from valor_tpu.train.step import TrainState
 
+    # compute-policy switches, set before the first trace: einsum is the
+    # measured-faster attention at VALOR sequence lengths (PERF_NOTES.md);
+    # remat_policy selects the jax.checkpoint save-list
+    from valor_tpu.ops.layers import set_attention_impl, set_remat_policy
+
+    set_attention_impl("flash" if cfg.model.use_flash_attention else "einsum")
+    set_remat_policy(cfg.model.remat_policy)
+
     model = VALORModel(cfg.model)
     if isinstance(example_batches, dict) and example_batches and all(
         isinstance(v, dict) for v in example_batches.values()
@@ -282,12 +290,6 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     LOGGER.info(f"model has {n_params / 1e6:.1f}M params")
     params = initialize_encoder_weights(cfg.model, params)
-    # attention implementation: einsum is the measured-faster default at
-    # VALOR sequence lengths (PERF_NOTES.md); the flag routes the Pallas
-    # flash kernel when requested
-    from valor_tpu.ops.layers import set_attention_impl
-
-    set_attention_impl("flash" if cfg.model.use_flash_attention else "einsum")
     if mesh is not None:
         from valor_tpu.parallel.partition import shard_params
 
@@ -299,4 +301,10 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
         frozen_multimodal=cfg.model.frozen_multimodal,
     )
     state = TrainState.create(params, tx)
+    if mesh is not None and cfg.train.zero_optimizer:
+        from valor_tpu.parallel.partition import shard_opt_state
+
+        state = state.replace(
+            opt_state=shard_opt_state(state.opt_state, state.params, mesh)
+        )
     return model, tx, state

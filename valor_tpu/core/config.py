@@ -98,6 +98,9 @@ class ModelConfig:
     # regularisation / compute policy
     dropout: float = 0.1
     checkpointing: bool = False  # jax.checkpoint (remat) per encoder layer
+    # jax.checkpoint_policies name ('' = save nothing): e.g. 'dots_saveable'
+    # keeps matmul outputs, trading memory for less backward recompute
+    remat_policy: str = ""
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
 
     # Pallas kernel switches (TPU fast path; pure-XLA fallback always
@@ -161,6 +164,7 @@ class TrainConfig:
     train_inner_steps: int = 1  # steps fused per jit call (lax.scan)
     model_shards: int = 1  # tensor-parallel axis size (mesh = data x model)
     prefetch: bool = True  # keep one device batch in flight (H2D overlap)
+    zero_optimizer: bool = False  # shard adam moments over the data axis
     seed: int = 42
     valid_steps: int = 1000
     valid_freq: int = 10

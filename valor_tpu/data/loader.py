@@ -63,25 +63,59 @@ class ShardedBatchSampler:
 
 
 class DataLoader:
-    """Minimal map-style loader: sampler -> dataset -> collate, with an
-    optional background worker thread (the image-decode path releases the
-    GIL inside PIL/numpy, so one worker already overlaps the device step)."""
+    """Map-style loader: sampler -> dataset -> collate.
 
-    def __init__(self, dataset, sampler: ShardedBatchSampler, collate_fn: Callable, n_workers: int = 0):
+    ``n_workers`` threads fetch samples concurrently (the hot work — native
+    libjpeg decode, C fbank, numpy resize — releases the GIL, so threads
+    scale like the reference's worker processes without pickling batches);
+    two batches of sample futures stay in flight ahead of the consumer, and
+    a background thread runs collate + hands batches over a small queue.
+    Replaces the reference's torch DataLoader(n_workers) fork pool
+    (train_utils.py:423-486)."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler: ShardedBatchSampler,
+        collate_fn: Callable,
+        n_workers: int = 0,
+        prefetch_batches: int = 2,
+    ):
         self.dataset = dataset
         self.sampler = sampler
         self.collate_fn = collate_fn
         self.n_workers = n_workers
+        self.prefetch_batches = max(prefetch_batches, 1)
 
     def _produce(self) -> Iterator[Any]:
-        for batch_idx in self.sampler:
-            yield self.collate_fn([self.dataset[i] for i in batch_idx])
+        if self.n_workers <= 1:
+            for batch_idx in self.sampler:
+                yield self.collate_fn([self.dataset[i] for i in batch_idx])
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.n_workers) as pool:
+            it = iter(self.sampler)
+            pending: deque = deque()
+
+            def submit():
+                idx = next(it, None)
+                if idx is not None:
+                    pending.append([pool.submit(self.dataset.__getitem__, i) for i in idx])
+
+            for _ in range(self.prefetch_batches):
+                submit()
+            while pending:
+                futs = pending.popleft()
+                submit()  # keep the pool fed while we block on results
+                yield self.collate_fn([f.result() for f in futs])
 
     def __iter__(self) -> Iterator[Any]:
         if self.n_workers <= 0:
             yield from self._produce()
             return
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2, self.n_workers))
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2, self.prefetch_batches))
         sentinel = object()
 
         def work():

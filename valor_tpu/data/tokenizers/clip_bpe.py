@@ -21,29 +21,25 @@ from typing import Dict, List
 
 @lru_cache()
 def bytes_to_unicode() -> Dict[int, str]:
-    """Reversible byte -> printable unicode char mapping (GPT-2 scheme)."""
-    bs = (
-        list(range(ord("!"), ord("~") + 1))
-        + list(range(ord("\xa1"), ord("\xac") + 1))
-        + list(range(ord("\xae"), ord("\xff") + 1))
-    )
-    cs = bs[:]
-    n = 0
+    """Reversible byte -> printable unicode char mapping (GPT-2 scheme).
+
+    Printable latin-1 bytes map to themselves; control/whitespace bytes
+    (and 0xa0 NBSP / 0xad soft hyphen) are relocated to codepoints 256+,
+    assigned in ascending byte order — the published GPT-2/CLIP convention,
+    so merge-table entries line up with the public vocab file.
+    """
+    def printable(b: int) -> bool:
+        return 0x21 <= b <= 0x7E or 0xA1 <= b <= 0xAC or 0xAE <= b <= 0xFF
+
+    # insertion order defines vocab ids downstream: printable bytes first,
+    # then the relocated ones — the published ordering
+    table: Dict[int, str] = {b: chr(b) for b in range(256) if printable(b)}
+    next_cp = 256
     for b in range(256):
-        if b not in bs:
-            bs.append(b)
-            cs.append(256 + n)
-            n += 1
-    return dict(zip(bs, [chr(c) for c in cs]))
-
-
-def get_pairs(word) -> set:
-    pairs = set()
-    prev = word[0]
-    for ch in word[1:]:
-        pairs.add((prev, ch))
-        prev = ch
-    return pairs
+        if not printable(b):
+            table[b] = chr(next_cp)
+            next_cp += 1
+    return table
 
 
 def basic_clean(text: str) -> str:
@@ -75,10 +71,11 @@ class ClipBPETokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        # ASCII approximation of the CLIP word-split pattern (the `regex`
+        # package's \p{L}/\p{N} classes) — adequate for the lowercased
+        # English captions this framework tokenizes
         self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
             re.IGNORECASE,
         )
 
@@ -91,38 +88,35 @@ class ClipBPETokenizer:
         return self.encoder["<|endoftext|>"]
 
     def bpe(self, token: str) -> str:
+        """Greedy BPE: repeatedly merge the lowest-rank adjacent symbol
+        pair (every occurrence, left to right) until no merge applies.
+
+        The end-of-word marker rides the last byte so word-final merges
+        rank separately, per the public merge table.
+        """
         if token in self.cache:
             return self.cache[token]
-        word = tuple(token[:-1]) + (token[-1] + "</w>",)
-        pairs = get_pairs(word)
-        if not pairs:
-            return token + "</w>"
-        while True:
-            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
-            if bigram not in self.bpe_ranks:
+        symbols = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(symbols) > 1:
+            best_rank = None
+            best_pair = None
+            for pair in zip(symbols, symbols[1:]):
+                rank = self.bpe_ranks.get(pair)
+                if rank is not None and (best_rank is None or rank < best_rank):
+                    best_rank, best_pair = rank, pair
+            if best_pair is None:
                 break
-            first, second = bigram
-            new_word: List[str] = []
+            merged: List[str] = []
             i = 0
-            while i < len(word):
-                try:
-                    j = word.index(first, i)
-                except ValueError:
-                    new_word.extend(word[i:])
-                    break
-                new_word.extend(word[i:j])
-                i = j
-                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
-                    new_word.append(first + second)
+            while i < len(symbols):
+                if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == best_pair:
+                    merged.append(symbols[i] + symbols[i + 1])
                     i += 2
                 else:
-                    new_word.append(word[i])
+                    merged.append(symbols[i])
                     i += 1
-            word = tuple(new_word)
-            if len(word) == 1:
-                break
-            pairs = get_pairs(word)
-        out = " ".join(word)
+            symbols = merged
+        out = " ".join(symbols)
         self.cache[token] = out
         return out
 

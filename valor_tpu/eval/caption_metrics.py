@@ -13,9 +13,10 @@ implementations of the standard published algorithms:
     (reference: scorer/scorer.py:117-147).
   * ROUGE-L (Lin 2004): LCS-based F-measure with beta=1.2.
 
-METEOR and SPICE require external Java artifacts in the reference; they are
-exposed behind optional hooks (eval/cococaption.py) and excluded from the
-default metric set — documented divergence.
+METEOR and SPICE: eval/cococaption.py carries a METEOR-1.5 jar wrapper
+(exact reference parity when java + $VALOR_METEOR_JAR exist), a pure-Python
+classic-METEOR fallback always included in the report, and the documented
+SPICE jar hook (column omitted without the jar).
 """
 
 from __future__ import annotations
@@ -191,19 +192,22 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 
 
 def rouge_l(hyps: List[List[str]], refs_list: List[List[List[str]]], beta: float = 1.2) -> float:
+    """COCO-convention multi-reference aggregation: the max precision and
+    max recall are taken SEPARATELY across references before the single
+    F-measure (pycocoevalcap behavior; golden-matched in
+    tests/test_metric_parity.py)."""
     scores = []
     for hyp, refs in zip(hyps, refs_list):
-        best = 0.0
+        p_max = r_max = 0.0
         for ref in refs:
             lcs = _lcs_len(hyp, ref)
-            p = lcs / max(len(hyp), 1)
-            r = lcs / max(len(ref), 1)
-            if p and r:
-                f = (1 + beta**2) * p * r / (r + beta**2 * p)
-            else:
-                f = 0.0
-            best = max(best, f)
-        scores.append(best)
+            p_max = max(p_max, lcs / max(len(hyp), 1))
+            r_max = max(r_max, lcs / max(len(ref), 1))
+        if p_max and r_max:
+            f = (1 + beta**2) * p_max * r_max / (r_max + beta**2 * p_max)
+        else:
+            f = 0.0
+        scores.append(f)
     return float(np.mean(scores)) if scores else 0.0
 
 
@@ -217,7 +221,7 @@ def caption_eval(
     r = [[s.split() for s in refs[i]] for i in ids]
     bleu = bleu_corpus(h, r)
     cider = CiderScorer().score(h, r)
-    return {
+    report = {
         "Bleu_1": round(bleu[0], 4),
         "Bleu_2": round(bleu[1], 4),
         "Bleu_3": round(bleu[2], 4),
@@ -225,3 +229,10 @@ def caption_eval(
         "ROUGE_L": round(rouge_l(h, r), 4),
         "CIDEr": round(float(np.mean(cider)), 4),
     }
+    from valor_tpu.eval.cococaption import meteor_score, spice_score
+
+    report["METEOR"] = round(meteor_score(hyps, refs), 4)
+    spice = spice_score(hyps, refs)
+    if spice is not None:
+        report["SPICE"] = round(spice, 4)
+    return report

@@ -17,7 +17,7 @@ import dataclasses
 import jax.numpy as jnp
 from flax import linen as nn
 
-from valor_tpu.ops.layers import LayerNorm, PreNormLayer
+from valor_tpu.ops.layers import LayerNorm, PreNormLayer, remat_wrap
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,7 +72,7 @@ class ASTEncoder(nn.Module):
         x = maybe_dropout(self, x + pos.astype(self.dtype), c.dropout)
         layer_cls = PreNormLayer
         if self.remat:
-            layer_cls = nn.remat(PreNormLayer, static_argnums=())
+            layer_cls = remat_wrap(PreNormLayer)
         for i in range(c.layers):
             x = layer_cls(
                 num_heads=c.heads,

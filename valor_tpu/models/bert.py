@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from valor_tpu.ops.layers import (
+    remat_wrap,
     Dense,
     LayerNorm,
     MlpBlock,
@@ -223,7 +224,7 @@ class BertFusionEncoder(nn.Module):
         self.embeddings = BertEmbeddings(c, dtype=self.dtype, name="embeddings")
         layer_cls = BertFusionLayer
         if self.remat:
-            layer_cls = nn.remat(BertFusionLayer, static_argnums=())
+            layer_cls = remat_wrap(BertFusionLayer)
         self.layers = [
             layer_cls(c, dtype=self.dtype, name=f"layer_{i}") for i in range(c.num_layers)
         ]

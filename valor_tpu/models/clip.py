@@ -22,7 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from valor_tpu.ops.layers import Dense, LayerNorm, PreNormLayer
+from valor_tpu.ops.layers import Dense, LayerNorm, PreNormLayer, remat_wrap
 from valor_tpu.ops.masks import fusion_attention_bias, concat_key_mask
 
 
@@ -127,7 +127,7 @@ class CLIPVisionTransformer(nn.Module):
         x = LayerNorm(eps=1e-5, dtype=self.dtype, name="ln_pre")(x)
         layer_cls = PreNormLayer
         if self.remat:
-            layer_cls = nn.remat(PreNormLayer, static_argnums=())
+            layer_cls = remat_wrap(PreNormLayer)
         for i in range(c.layers):
             x = layer_cls(
                 num_heads=c.heads,
@@ -201,7 +201,7 @@ class CLIPTextTransformer(nn.Module):
 
         layer_cls = PreNormLayer
         if self.remat:
-            layer_cls = nn.remat(PreNormLayer, static_argnums=())
+            layer_cls = remat_wrap(PreNormLayer)
         for i in range(c.layers):
             x = layer_cls(
                 num_heads=c.heads,

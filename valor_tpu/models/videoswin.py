@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from valor_tpu.ops.layers import Dense, LayerNorm, MlpBlock
+from valor_tpu.ops.layers import Dense, LayerNorm, MlpBlock, remat_wrap
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,8 +199,13 @@ class SwinBlock3D(nn.Module):
         else:
             mask = None
         wins = window_partition(x, window)
+        # NB: the attention gets the CONFIG window, not the clamped one —
+        # the reference allocates the rel-pos table for the full window
+        # (videoswin.py:110-111) and slices relative_position_index[:N,:N]
+        # at forward (:146), so a clamped window reads the table through
+        # the full-window index layout
         wins = WindowAttention3D(
-            self.dim, window, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+            self.dim, self.window, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
         )(wins, mask)
         x = window_reverse(wins, window, b, dp, hp, wp)
         if any(shift):
@@ -260,7 +265,7 @@ class SwinTransformer3D(nn.Module):
 
         block_cls = SwinBlock3D
         if self.remat:
-            block_cls = nn.remat(SwinBlock3D, static_argnums=())
+            block_cls = remat_wrap(SwinBlock3D)
         for stage, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
             dim = int(c.embed_dim * 2**stage)
             half = tuple(s // 2 for s in c.window_size)

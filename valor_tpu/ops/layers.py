@@ -154,6 +154,30 @@ def maybe_dropout(module: "nn.Module", x: jnp.ndarray, rate: float) -> jnp.ndarr
 _ATTENTION_IMPL = "einsum"
 
 
+_REMAT_POLICY = [None]  # module-level like the attention impl switch
+
+
+def set_remat_policy(name) -> None:
+    """Select the jax.checkpoint policy used when remat is on.
+
+    None/"" -> save nothing (max memory savings, full recompute);
+    any attribute of jax.checkpoint_policies (e.g. "dots_saveable",
+    "dots_with_no_batch_dims_saveable") -> save those intermediates and
+    skip their recompute in the backward pass — a compute/memory dial the
+    reference's all-or-nothing --checkpointing lacks."""
+    _REMAT_POLICY[0] = name or None
+
+
+def remat_wrap(cls):
+    """nn.remat with the globally-selected checkpoint policy."""
+    import jax as _jax
+
+    kw = {}
+    if _REMAT_POLICY[0]:
+        kw["policy"] = getattr(_jax.checkpoint_policies, _REMAT_POLICY[0])
+    return nn.remat(cls, static_argnums=(), **kw)
+
+
 def set_attention_impl(name: str) -> None:
     global _ATTENTION_IMPL
     assert name in ("einsum", "flash"), name

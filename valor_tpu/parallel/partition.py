@@ -64,6 +64,40 @@ def _divisible(shape, spec: P, mesh: Mesh) -> bool:
     return True
 
 
+def shard_opt_state(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """ZeRO-1-style placement: shard adam moment leaves over the `data`
+    axis (dim 0 when divisible), keep scalars/counters replicated.
+
+    The reference replicates optimizer state on every GPU (apex O2 master
+    params); sharding the moments over data cuts optimizer memory by the
+    DP degree — GSPMD inserts the reduce-scatter/all-gather around the
+    update.  Leaves that match a param leaf keep dim-0 sharding only when
+    the param itself is replicated on dim 0 (TP-sharded params keep their
+    own layout via zeros_like inheritance)."""
+    from valor_tpu.parallel.mesh import DATA_AXIS
+
+    del params
+    n_data = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        # leave TP-sharded moments (inherited via zeros_like) untouched
+        sh = getattr(x, "sharding", None)
+        replicated_now = sh is None or getattr(sh, "is_fully_replicated", True)
+        if (
+            replicated_now
+            and x.ndim >= 1
+            and x.shape[0] % n_data == 0
+            and x.size >= 1 << 14  # tiny leaves: replication is cheaper
+        ):
+            spec = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """device_put the param tree with TP specs (falling back to replication
     for shapes not divisible by the model axis)."""

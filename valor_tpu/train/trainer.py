@@ -121,10 +121,19 @@ class Trainer:
         last_logged = step
         last_evaled = step
         t_start = time.time()
+        t_window = t_start
+        data_wait = 0.0  # host time blocked on the input pipeline
         self._pending_metrics: list = []
         pending: list = []  # buffered same-task batches for the fused loop
         pending_task = None
-        for name_task, batch in self.meta_loader:
+        loader_it = iter(self.meta_loader)
+        while True:
+            t0 = time.perf_counter()
+            item = next(loader_it, None)
+            data_wait += time.perf_counter() - t0
+            if item is None:
+                break
+            name_task, batch = item
             if step >= t.num_train_steps:  # resumed-finished run
                 break
             task_name, batch_task = name_task, batch
@@ -169,13 +178,19 @@ class Trainer:
             if step // 100 > last_logged // 100:
                 last_logged = step
                 self._drain_metrics()
-                elapsed = time.time() - t_start
+                now = time.time()
+                elapsed = now - t_start
+                window = max(now - t_window, 1e-9)
+                stall = data_wait / window  # fraction blocked on input
+                t_window, data_wait = now, 0.0
                 ms = {k: m.val for k, m in self.meters.items() if m.val is not None}
                 LOGGER.info(
-                    f"step {step}/{t.num_train_steps} ({step / max(elapsed, 1e-9):.2f} it/s) "
+                    f"step {step}/{t.num_train_steps} ({step / max(elapsed, 1e-9):.2f} it/s, "
+                    f"data_stall={stall:.1%}) "
                     + " ".join(f"{k}={v:.4f}" for k, v in ms.items())
                 )
                 TB_LOGGER.set_step(step)
+                ms["data_stall"] = stall
                 TB_LOGGER.log_scalar_dict(ms)
             if t.valid_steps and step // t.valid_steps > last_evaled // t.valid_steps:
                 last_evaled = step
