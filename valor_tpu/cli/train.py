@@ -204,10 +204,22 @@ def main(argv=None):
             if restored:
                 params = adapt_pretrained_params(restored["params"], state.params)
                 state = state.replace(params=shard_params(params, mesh))
+        elif path and os.path.isdir(path):
+            # one of our own run dirs (orbax): restore latest params
+            sub = ModelSaver(path, remove_before_ckpt=False)
+            restored = sub.restore(state)
+            if restored:
+                params = adapt_pretrained_params(restored["params"], state.params)
+                state = state.replace(params=shard_params(params, mesh))
         elif path and os.path.exists(path):
+            # a torch artifact: full VALOR .pt / CLIP jit archive / bert
+            # bin / videoswin / ast — converted by key inspection
             from valor_tpu.models.convert import load_converted
 
-            params = adapt_pretrained_params(load_converted(path), state.params)
+            params = adapt_pretrained_params(
+                load_converted(path, resolution=cfg.model.video_resolution),
+                state.params,
+            )
             state = state.replace(params=shard_params(params, mesh))
 
     validate_fn = make_validate_fn(cfg, model, tokenizers) if cfg.data_val else None

@@ -298,6 +298,130 @@ def convert_videoswin(path_or_sd) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# full VALOR training checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _sub(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    n = len(prefix)
+    return {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _convert_ast_inmodel(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """VALOR-internal AST layout -> audio_encoder tree.
+
+    The released VALOR .pt stores the audio tower under its in-model names
+    (reference: modeling.py:738-762 AudioEmbeddings `first_conv`/
+    `position_embeddings`/`cls_token`; transformer.py:56-170
+    `layer.N.attention.linears.{0..3}` q/k/v/out, `ff_layer.linear{1,2}`,
+    `layernorm{1,2}`, `last_layernorm`) — different from the AudioSet
+    artifact layout convert_ast handles (`module.v.*`).
+    """
+    emb = _sub(sd, "audio_embeddings.")
+    enc_sd = _sub(sd, "audio_encoder.")
+    enc: Dict[str, Any] = {
+        "cls_token": emb["cls_token"],
+        "patch_embed": {
+            "kernel": emb["first_conv.weight"].transpose(2, 3, 1, 0),
+            "bias": emb["first_conv.bias"],
+        },
+        "position_embeddings": emb["position_embeddings.weight"],
+        "last_layernorm": _ln(enc_sd, "last_layernorm"),
+    }
+    n_layers = len({k.split(".")[1] for k in enc_sd if k.startswith("layer.")})
+    for i in range(n_layers):
+        p = f"layer.{i}"
+        enc[f"block_{i}"] = {
+            "ln1": _ln(enc_sd, f"{p}.layernorm1"),
+            "ln2": _ln(enc_sd, f"{p}.layernorm2"),
+            "attn": {
+                "query": _lin(enc_sd, f"{p}.attention.linears.0"),
+                "key": _lin(enc_sd, f"{p}.attention.linears.1"),
+                "value": _lin(enc_sd, f"{p}.attention.linears.2"),
+                "out": _lin(enc_sd, f"{p}.attention.linears.3"),
+            },
+            "mlp": {
+                "fc1": _lin(enc_sd, f"{p}.ff_layer.linear1"),
+                "fc2": _lin(enc_sd, f"{p}.ff_layer.linear2"),
+            },
+        }
+    return {"audio_encoder": enc}
+
+
+def _fine_weight(sd: Dict[str, np.ndarray], key: str) -> Dict[str, Any]:
+    # reference Sequential(Linear, ReLU, Linear) -> indices 0 / 2
+    # (pretrain.py:104-112); ours is FineWeight{fc1,fc2}
+    return {"fc1": _lin(sd, f"{key}.0"), "fc2": _lin(sd, f"{key}.2")}
+
+
+def convert_valor_full(path_or_sd, resolution: int = 224) -> Dict[str, Any]:
+    """A released VALOR training checkpoint (.pt with the whole model's
+    state_dict — README.md:53-60 model zoo) -> our full flax param tree.
+
+    Key families (reference VALORModel attribute names):
+      clip_model.*            modeling.py:569   -> clip_vision/clip_text/clip_proj
+      video_encoder.*         modeling.py:583   -> video_encoder (videoswin)
+      audio_embeddings.* / audio_encoder.*  modeling.py:603-605 -> audio_encoder
+      multimodal_encoder.*    modeling.py:635   -> multimodal_encoder
+      txt_encoder.*           modeling.py:688   -> txt_encoder (separate bert)
+      cls.*                   modeling.py:651   -> cls_head
+      contra_head_{t,v,a}.linear / va_fusion / *_fine_weight / contra_temp
+                              pretrain.py:89-119
+      *_type_embeddings / *_frame_embedding / hidden_trans_*_multimodal
+                              modeling.py:341-351
+    """
+    sd = _load_torch(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    out: Dict[str, Any] = {}
+
+    clip_sd = _sub(sd, "clip_model.")
+    if clip_sd:
+        out.update(convert_clip(clip_sd, resolution))
+    if any(k.startswith("video_encoder.patch_embed") for k in sd):
+        out.update(convert_videoswin(_sub(sd, "video_encoder.")))
+    if any(k.startswith("audio_embeddings.") for k in sd):
+        out.update(_convert_ast_inmodel(sd))
+    if any(k.startswith("multimodal_encoder.") for k in sd):
+        out.update(convert_bert(_sub(sd, "multimodal_encoder.")))
+    txt_sd = _sub(sd, "txt_encoder.")
+    # share_txt_and_multimodal / clip text towers alias existing modules;
+    # only a genuinely separate bert txt encoder needs its own subtree
+    if txt_sd and any(k.startswith("encoder.layer.") for k in txt_sd):
+        out.update(convert_bert(txt_sd, target="txt_encoder"))
+
+    if "cls.dense.weight" in sd:
+        out["cls_head"] = {
+            "dense": _lin(sd, "cls.dense"),
+            "layernorm": _ln(sd, "cls.layernorm"),
+            "decoder_bias": sd["cls.decoder.bias"],
+        }
+    for name in ("contra_head_t", "contra_head_v", "contra_head_a"):
+        if f"{name}.linear.weight" in sd:
+            out[name] = _lin_nob(sd, f"{name}.linear")
+    if "va_fusion.weight" in sd:
+        out["va_fusion"] = _lin(sd, "va_fusion")
+    for name in ("text_fine_weight", "video_fine_weight", "audio_fine_weight"):
+        if f"{name}.0.weight" in sd:
+            out[name] = _fine_weight(sd, name)
+    for name in (
+        "contra_temp",
+        "video_type_embeddings",
+        "audio_type_embeddings",
+        "video_frame_embedding",
+        "audio_frame_embedding",
+    ):
+        if name in sd:
+            out[name] = sd[name]
+    # dim adapters: Sequential(Linear, FusedLayerNorm) (modeling.py:349-351)
+    if "hidden_trans_video_multimodal.0.weight" in sd:
+        out["video_adapter"] = _lin(sd, "hidden_trans_video_multimodal.0")
+        out["video_adapter_ln"] = _ln(sd, "hidden_trans_video_multimodal.1")
+    if "hidden_trans_audio_multimodal.0.weight" in sd:
+        out["audio_adapter"] = _lin(sd, "hidden_trans_audio_multimodal.0")
+        out["audio_adapter_ln"] = _ln(sd, "hidden_trans_audio_multimodal.1")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
 
@@ -306,6 +430,11 @@ def load_converted(path: str, resolution: int = 224) -> Dict[str, Any]:
     """Best-effort conversion of a torch checkpoint by key inspection."""
     sd = _load_torch(path)
     keys = set(sd)
+    if any(
+        k.startswith(("clip_model.", "multimodal_encoder.", "audio_embeddings."))
+        for k in keys
+    ):
+        return convert_valor_full(sd, resolution)
     if any(k.startswith("visual.") for k in keys):
         return convert_clip(sd, resolution)
     if any("v.blocks." in k for k in keys):
