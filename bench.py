@@ -106,10 +106,9 @@ def main_data_inclusive():
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
     example = _synthetic_batch(batch=batch_size)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
-        example, task, True, True,
-    )["params"]
+    params = jax.jit(
+        lambda rngs: model.init(rngs, example, task, True, True)
+    )({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)})["params"]
     tx = build_optimizer(params, TrainConfig(num_train_steps=10000))
     state = TrainState.create(params, tx)
     del params
@@ -214,13 +213,17 @@ def main():
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
     batch = _synthetic_batch(batch=batch_size)
 
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
-        batch,
-        task,
-        True,
-        True,
-    )["params"]
+    # jit the init: eager flax init dispatches thousands of tiny ops
+    # one-by-one (minutes-to-hours through the tunneled runtime); one
+    # compiled program runs in seconds and hits the persistent cache.
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda rngs: model.init(rngs, batch, task, True, True)
+    )({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)})["params"]
+    jax.block_until_ready(params)
+    import sys
+
+    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     mu_dtype = "bfloat16" if os.environ.get("BENCH_MU_BF16") else "float32"
     tcfg = TrainConfig(num_train_steps=10000, adam_mu_dtype=mu_dtype)
     tx = build_optimizer(params, tcfg)
@@ -245,11 +248,18 @@ def main():
             return train_step(state, batch, key, task)
 
     rng = jax.random.PRNGKey(2)
+    import sys
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     # warmup: compile + first donated-buffer step (the runtime's first
     # donation round-trip is ~100x slower than steady state)
     for w in range(2):
+        t0 = time.perf_counter()
         state, metrics = run_one(state, jax.random.fold_in(rng, 1000 + w))
         _ = float(metrics["total_loss"])  # host readback = ground-truth sync
+        note(f"warmup {w}: {time.perf_counter() - t0:.1f}s")
 
     # The driver's chip sits behind a shared tunnel whose throughput varies
     # >10x run to run (see PERF_NOTES.md); per-step min is the capability
@@ -261,6 +271,7 @@ def main():
         state, metrics = run_one(state, jax.random.fold_in(rng, i))
         _ = float(metrics["total_loss"])
         times.append(time.perf_counter() - t0)
+        note(f"step {i}: {times[-1]:.3f}s")
 
     per_call = batch_size * inner
     sps = per_call / min(times)

@@ -279,12 +279,14 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
         items = [(task0, example_batches)]
     params: Dict[str, Any] = {}
     for task_str, ex in items:
-        p = model.init(
-            {"params": jax.random.PRNGKey(cfg.train.seed), "mask": jax.random.PRNGKey(1)},
-            ex,
-            parse_task(task_str),
-            True,
-            True,
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # one at a time (minutes through a remote runtime); one compiled
+        # program runs in seconds and lands in the persistent cache.
+        spec = parse_task(task_str)
+        p = jax.jit(
+            lambda rngs, ex=ex, spec=spec: model.init(rngs, ex, spec, True, True)
+        )(
+            {"params": jax.random.PRNGKey(cfg.train.seed), "mask": jax.random.PRNGKey(1)}
         )["params"]
         params = _merge_params(params, p) if params else p
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
