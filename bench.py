@@ -197,10 +197,6 @@ def main():
     # runtime's fixed ~0.4 s per-execution overhead (PERF_NOTES.md); this
     # is the trainer's own train_inner_steps path, not a bench-only trick.
     inner = int(os.environ.get("BENCH_INNER", 1))
-    if os.environ.get("BENCH_FLASH"):
-        from valor_tpu.ops.layers import set_attention_impl
-
-        set_attention_impl("flash")
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
         from valor_tpu.ops.layers import set_remat_policy

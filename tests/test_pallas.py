@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from valor_tpu.ops.layers import dot_product_attention
 from valor_tpu.ops.pallas.layernorm import fused_layernorm
 
 
@@ -32,7 +31,7 @@ class TestFusedLayerNorm:
         b = jnp.asarray(rng.randn(128), jnp.float32)
 
         def f_pallas(x, w, b):
-            return jnp.sum(jnp.sin(fused_layernorm(x, w, b, 1e-12, 4, True)))
+            return jnp.sum(jnp.sin(fused_layernorm(x, w, b, 1e-12, 8, True)))
 
         def f_ref(x, w, b):
             return jnp.sum(jnp.sin(ref_layernorm(x, w, b)))
@@ -48,24 +47,6 @@ class TestFusedLayerNorm:
         x = jnp.asarray(rng.randn(5, 128), jnp.float32)
         w = jnp.ones(128)
         b = jnp.zeros(128)
-        y = fused_layernorm(x, w, b, 1e-12, 4, True)
+        y = fused_layernorm(x, w, b, 1e-12, 8, True)
         ref = ref_layernorm(x, w, b)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5, atol=2e-5)
-
-
-class TestFlashFallback:
-    def test_cpu_falls_back_to_einsum(self):
-        # flash path is TPU-only; on CPU dot_product_attention must be used
-        from valor_tpu.ops.layers import set_attention_impl
-
-        rng = np.random.RandomState(0)
-        q = jnp.asarray(rng.randn(2, 2, 16, 64), jnp.float32)
-        k = jnp.asarray(rng.randn(2, 2, 16, 64), jnp.float32)
-        v = jnp.asarray(rng.randn(2, 2, 16, 64), jnp.float32)
-        base = dot_product_attention(q, k, v)
-        set_attention_impl("flash")
-        try:
-            out = dot_product_attention(q, k, v)
-        finally:
-            set_attention_impl("einsum")
-        np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=1e-6)

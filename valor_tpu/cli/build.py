@@ -264,9 +264,8 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     # compute-policy switches, set before the first trace: einsum is the
     # measured-faster attention at VALOR sequence lengths (PERF_NOTES.md);
     # remat_policy selects the jax.checkpoint save-list
-    from valor_tpu.ops.layers import set_attention_impl, set_remat_policy
+    from valor_tpu.ops.layers import set_remat_policy
 
-    set_attention_impl("flash" if cfg.model.use_flash_attention else "einsum")
     set_remat_policy(cfg.model.remat_policy)
 
     model = VALORModel(cfg.model)

@@ -102,11 +102,10 @@ class ModelConfig:
     # keeps matmul outputs, trading memory for less backward recompute
     remat_policy: str = ""
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
-
-    # Pallas kernel switches (TPU fast path; pure-XLA fallback always
-    # exists).  einsum attention measured faster at VALOR sequence lengths
-    # (PERF_NOTES.md), so flash is opt-in.
-    use_flash_attention: bool = False
+    # NOTE: no flash-attention knob — XLA's fused attention won every
+    # fwd+bwd A/B at VALOR sequence lengths, including against a
+    # mask-native (segment-ids) Pallas flash kernel, so the kernel was
+    # removed (PERF_NOTES.md "Flash-attention A/B").
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

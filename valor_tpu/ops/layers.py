@@ -149,12 +149,7 @@ def maybe_dropout(module: "nn.Module", x: jnp.ndarray, rate: float) -> jnp.ndarr
     return x
 
 
-# trace-time attention implementation switch: "einsum" (XLA fuses well on
-# its own) or "flash" (Pallas block kernel on TPU; see ops/pallas/attention).
-_ATTENTION_IMPL = "einsum"
-
-
-_REMAT_POLICY = [None]  # module-level like the attention impl switch
+_REMAT_POLICY = [None]  # trace-time module-level switch
 
 
 def set_remat_policy(name) -> None:
@@ -178,16 +173,6 @@ def remat_wrap(cls):
     return nn.remat(cls, static_argnums=(), **kw)
 
 
-def set_attention_impl(name: str) -> None:
-    global _ATTENTION_IMPL
-    assert name in ("einsum", "flash"), name
-    _ATTENTION_IMPL = name
-
-
-def get_attention_impl() -> str:
-    return _ATTENTION_IMPL
-
-
 def dot_product_attention(
     q: jnp.ndarray,  # [B, H, Q, D]
     k: jnp.ndarray,  # [B, H, K, D]
@@ -200,12 +185,15 @@ def dot_product_attention(
     One implementation serving BertSelfAttention / BertCrossAttention /
     clip's nn.MultiheadAttention / transformer.MultiHeadAttention
     (reference: model/bert.py:244-340, model/transformer.py:106-130).
-    """
-    if _ATTENTION_IMPL == "flash":
-        from valor_tpu.ops.pallas.attention import flash_attention, flash_eligible
 
-        if flash_eligible(q, k):
-            return flash_attention(q, k, v, bias=bias, dtype=dtype)
+    XLA's fused attention is the measured-fastest at every VALOR shape
+    (197-token ViT frames, 257-token AST clips, ~1k-token fusion): a
+    Pallas flash kernel — including a mask-native segment-ids variant
+    with no materialised bias — lost every fwd+bwd A/B on v5e
+    (PERF_NOTES.md "Flash-attention A/B"), so it was removed; flash
+    block-tiling pays off at ≥4k tokens, which VALOR never reaches
+    (SURVEY.md §5 long-context: seq <= ~1.7k).
+    """
     depth = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(depth)
