@@ -197,6 +197,10 @@ def main():
     # runtime's fixed ~0.4 s per-execution overhead (PERF_NOTES.md); this
     # is the trainer's own train_inner_steps path, not a bench-only trick.
     inner = int(os.environ.get("BENCH_INNER", 1))
+    if os.environ.get("BENCH_RBG"):
+        # cheap counter-based PRNG for dropout masks (threefry is
+        # ALU-heavy on TPU; rbg uses the hardware RNG path)
+        jax.config.update("jax_default_prng_impl", "rbg")
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
         from valor_tpu.ops.layers import set_remat_policy
@@ -205,6 +209,8 @@ def main():
     cfg = _flagship_config()
     if remat == "none":
         cfg = cfg.replace(checkpointing=False)
+    if os.environ.get("BENCH_REMAT_SCOPE"):
+        cfg = cfg.replace(remat_scope=os.environ["BENCH_REMAT_SCOPE"])
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
     batch = _synthetic_batch(batch=batch_size)

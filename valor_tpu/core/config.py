@@ -98,6 +98,14 @@ class ModelConfig:
     # regularisation / compute policy
     dropout: float = 0.1
     checkpointing: bool = False  # jax.checkpoint (remat) per encoder layer
+    # which encoders remat applies to when checkpointing=True: "all" or a
+    # comma list of {vision, text, audio, fusion}.  The reference's
+    # --checkpointing is all-or-nothing (bert.py:510, clip.py:208,
+    # videoswin.py:448, transformer.py:163); rematting ONLY the encoder
+    # whose activations don't fit (the ViT over b*n_frames images) skips
+    # the backward recompute everywhere else — measured +~8% step speed
+    # at VALOR-base flagship shapes (PERF_NOTES.md).
+    remat_scope: str = "all"
     # jax.checkpoint_policies name ('' = save nothing): e.g. 'dots_saveable'
     # keeps matmul outputs, trading memory for less backward recompute
     remat_policy: str = ""

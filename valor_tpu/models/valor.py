@@ -95,6 +95,14 @@ class VALORModel(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         self._dtype = dtype
+
+        # per-encoder remat gate (remat_scope; core/config.py): remat only
+        # where activations don't fit -> no backward recompute elsewhere
+        def _remat(which: str) -> bool:
+            if not c.checkpointing:
+                return False
+            scope = c.remat_scope.strip()
+            return scope == "all" or which in {s.strip() for s in scope.split(",")}
         self.is_clip_video = c.video_encoder_type.startswith("clip")
         self.is_clip_text = c.txt_encoder_type.startswith("clip")
         self.is_videoswin = c.video_encoder_type.startswith("videoswin")
@@ -105,11 +113,11 @@ class VALORModel(nn.Module):
             self.clip_vision = CLIPVisionTransformer(
                 vision_preset(clip_name, c.video_resolution),
                 dtype=dtype,
-                remat=c.checkpointing,
+                remat=_remat("vision"),
                 name="clip_vision",
             )
             self.clip_text = CLIPTextTransformer(
-                text_preset(clip_name), dtype=dtype, remat=c.checkpointing, name="clip_text"
+                text_preset(clip_name), dtype=dtype, remat=_remat("text"), name="clip_text"
             )
             tp = text_preset(clip_name)
             vp = vision_preset(clip_name, c.video_resolution)
@@ -125,7 +133,7 @@ class VALORModel(nn.Module):
             self.video_encoder = SwinTransformer3D(
                 swin_preset(c.video_encoder_type),
                 dtype=dtype,
-                remat=c.checkpointing,
+                remat=_remat("vision"),
                 name="video_encoder",
             )
             self.video_dim = self.video_encoder.cfg.num_features
@@ -146,7 +154,7 @@ class VALORModel(nn.Module):
             target_length=c.audio_target_length,
             patch_size=c.audio_patch_size,
         )
-        self.audio_encoder = ASTEncoder(ast_cfg, dtype=dtype, remat=c.checkpointing, name="audio_encoder")
+        self.audio_encoder = ASTEncoder(ast_cfg, dtype=dtype, remat=_remat("audio"), name="audio_encoder")
         self.audio_dim = ast_cfg.hidden_size
 
         # ---- multimodal fusion (BERT)
@@ -162,7 +170,7 @@ class VALORModel(nn.Module):
         )
         self.bert_cfg = bert_cfg
         self.multimodal_encoder = BertFusionEncoder(
-            bert_cfg, dtype=dtype, remat=c.checkpointing, name="multimodal_encoder"
+            bert_cfg, dtype=dtype, remat=_remat("fusion"), name="multimodal_encoder"
         )
         self.multimodal_dim = bert_cfg.hidden_size
         self.cls_head = BertPredictionHead(dtype=dtype, name="cls_head")
@@ -174,7 +182,7 @@ class VALORModel(nn.Module):
             else:
                 txt_bert_cfg = dataclasses_replace_no_cross(bert_cfg)
                 self.txt_encoder = BertFusionEncoder(
-                    txt_bert_cfg, dtype=dtype, remat=c.checkpointing, name="txt_encoder"
+                    txt_bert_cfg, dtype=dtype, remat=_remat("text"), name="txt_encoder"
                 )
             self.txt_dim = self.multimodal_dim
 
