@@ -194,12 +194,13 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", 64))
     # K train steps fused into one XLA program via lax.scan: amortises the
-    # runtime's fixed ~0.4 s per-execution overhead (PERF_NOTES.md); this
-    # is the trainer's own train_inner_steps path, not a bench-only trick.
-    inner = int(os.environ.get("BENCH_INNER", 1))
-    if os.environ.get("BENCH_RBG"):
+    # runtime's fixed per-execution overhead (PERF_NOTES.md); this is the
+    # trainer's own train_inner_steps path, not a bench-only trick.
+    inner = int(os.environ.get("BENCH_INNER", 8))
+    if os.environ.get("BENCH_RBG", "1") != "0":
         # cheap counter-based PRNG for dropout masks (threefry is
-        # ALU-heavy on TPU; rbg uses the hardware RNG path)
+        # ALU-heavy on TPU); matches TrainConfig.prng_impl='rbg', the
+        # production default
         jax.config.update("jax_default_prng_impl", "rbg")
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
@@ -226,7 +227,7 @@ def main():
     import sys
 
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
-    mu_dtype = "bfloat16" if os.environ.get("BENCH_MU_BF16") else "float32"
+    mu_dtype = "float32" if os.environ.get("BENCH_MU_BF16") == "0" else "bfloat16"
     tcfg = TrainConfig(num_train_steps=10000, adam_mu_dtype=mu_dtype)
     tx = build_optimizer(params, tcfg)
     state = TrainState.create(params, tx)

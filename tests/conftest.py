@@ -60,3 +60,13 @@ def tiny_model_config(**kw) -> ModelConfig:
 @pytest.fixture
 def tiny_cfg():
     return tiny_model_config()
+
+
+@pytest.fixture(autouse=True)
+def _restore_prng_impl():
+    """cli.train.main sets jax_default_prng_impl from TrainConfig.prng_impl
+    ('rbg' default); keep that from leaking across tests."""
+    prev = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prev:
+        jax.config.update("jax_default_prng_impl", prev)
