@@ -80,14 +80,22 @@ def main_data_inclusive():
     inner = int(os.environ.get("BENCH_INNER", 1))
     n_workers = int(os.environ.get("BENCH_WORKERS", 16))
     n_steps = int(os.environ.get("BENCH_STEPS", 12))
+    if os.environ.get("BENCH_RBG", "1") != "0":
+        jax.config.update("jax_default_prng_impl", "rbg")
 
-    root = _build_data_fixture()
+    # split-pipeline defaults (the production ones): uint8 pixels +
+    # device-side mel — the 1-core host can't afford f32 normalise or
+    # host DFT (PERF_NOTES.md).  BENCH_HOSTPREP=1 measures the old
+    # host-side preparation for comparison.
+    hostprep = bool(os.environ.get("BENCH_HOSTPREP"))
+    root = _build_data_fixture(n_ids=int(os.environ.get("BENCH_DATA_IDS", 512)))
     video_mapper = VideoMapper(
-        os.path.join(root, "frames"), resolution=224, sample_num=4, training=True
+        os.path.join(root, "frames"), resolution=224, sample_num=4, training=True,
+        output_uint8=not hostprep,
     )
     audio_mapper = AudioMapper(
         os.path.join(root, "audio"), sample_num=1, melbins=64,
-        target_length=512, training=True,
+        target_length=512, training=True, device_fbank=not hostprep,
     )
     ds = VALORDataset(os.path.join(root, "ids.json"), None, video_mapper, audio_mapper, True)
     sampler = ShardedBatchSampler(len(ds), batch_size=batch_size, shuffle=True)
@@ -100,7 +108,9 @@ def main_data_inclusive():
         b["clip_tokens"] = np.asarray(tok["clip_tokens"][:n])
         return b
 
-    loader = DataLoader(ds, sampler, collate, n_workers=n_workers, prefetch_batches=4)
+    loader = DataLoader(
+        ds, sampler, collate, n_workers=n_workers, prefetch_batches=4, repeat=True
+    )
 
     cfg = _flagship_config()
     model = VALORModel(cfg)
@@ -125,11 +135,7 @@ def main_data_inclusive():
             if hasattr(v, "ndim")
         }
 
-    def batches():
-        while True:  # loop epochs
-            yield from iter(loader)
-
-    prefetched = DevicePrefetcher(batches(), device_put_batch)
+    prefetched = DevicePrefetcher(iter(loader), device_put_batch)
     it = iter(prefetched)
     rng = jax.random.PRNGKey(2)
 

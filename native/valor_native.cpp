@@ -147,6 +147,51 @@ void resize_normalize(const uint8_t* src, int sw, int sh, float* dst, int dw,
   }
 }
 
+// Same two-pass antialiased resize with a uint8 epilogue — matches PIL
+// exactly (PIL's Image.BILINEAR resize also rounds back to uint8; the
+// reference normalises AFTER that quantisation, data/data.py:157-169).
+// Shipping uint8 to the accelerator quarters H2D traffic; the
+// (x/255-mean)/std normalisation runs on device.
+void resize_u8(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, int dh) {
+  Taps tx = make_taps(sw, dw);
+  Taps ty = make_taps(sh, dh);
+  std::vector<float> tmp(size_t(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + size_t(y) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = tx.weights.data() + tx.offsets[x];
+      float acc[3] = {0, 0, 0};
+      for (int k = 0; k < tx.counts[x]; ++k) {
+        const uint8_t* px = row + size_t(tx.bounds[x] + k) * 3;
+        acc[0] += w[k] * px[0];
+        acc[1] += w[k] * px[1];
+        acc[2] += w[k] * px[2];
+      }
+      float* o = tmp.data() + (size_t(y) * dw + x) * 3;
+      o[0] = acc[0];
+      o[1] = acc[1];
+      o[2] = acc[2];
+    }
+  }
+  for (int y = 0; y < dh; ++y) {
+    const float* w = ty.weights.data() + ty.offsets[y];
+    for (int x = 0; x < dw; ++x) {
+      float acc[3] = {0, 0, 0};
+      for (int k = 0; k < ty.counts[y]; ++k) {
+        const float* px = tmp.data() + (size_t(ty.bounds[y] + k) * dw + x) * 3;
+        acc[0] += w[k] * px[0];
+        acc[1] += w[k] * px[1];
+        acc[2] += w[k] * px[2];
+      }
+      uint8_t* o = dst + (size_t(y) * dw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = acc[c] + 0.5f;
+        o[c] = uint8_t(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+      }
+    }
+  }
+}
+
 // In-place iterative radix-2 FFT over interleaved complex data.
 void fft_radix2(float* re, float* im, int n) {
   for (int i = 1, j = 0; i < n; ++i) {
@@ -200,6 +245,26 @@ int decode_resize_batch(const char** paths, int n, int dw, int dh,
       resize_normalize(rgb.data(), w, h, dst, dw, dh, mean, stdv);
     } else {
       std::memset(dst, 0, size_t(dw) * dh * 3 * sizeof(float));
+      failures += 1;
+    }
+  }
+  return failures;
+}
+
+// uint8 variant: out is [n, dh, dw, 3] uint8 (PIL-parity rounding);
+// normalisation happens on the accelerator. Returns failed decode count.
+int decode_resize_batch_u8(const char** paths, int n, int dw, int dh,
+                           uint8_t* out) {
+  int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+  for (int i = 0; i < n; ++i) {
+    std::vector<uint8_t> rgb;
+    int w = 0, h = 0;
+    uint8_t* dst = out + size_t(i) * dw * dh * 3;
+    if (decode_jpeg(paths[i], rgb, w, h)) {
+      resize_u8(rgb.data(), w, h, dst, dw, dh);
+    } else {
+      std::memset(dst, 0, size_t(dw) * dh * 3);
       failures += 1;
     }
   }

@@ -224,3 +224,95 @@ class TestLoaders:
         it = iter(m)
         tasks = [next(it)[0] for _ in range(200)]
         assert tasks.count("x") > tasks.count("y")
+
+
+class TestDeviceAudioPath:
+    """Split audio pipeline: host clip-span shipping + on-device mel
+    (AudioMapper device_fbank=True -> fbank_clips_from_spans)."""
+
+    def test_span_path_matches_host(self, fixture_dataset):
+        import jax.numpy as jnp
+
+        from valor_tpu.data.fbank import fbank_clips_from_spans
+
+        kw = dict(sample_num=2, melbins=16, target_length=32, training=False)
+        host = AudioMapper(str(fixture_dataset / "audio"), **kw)
+        dev = AudioMapper(str(fixture_dataset / "audio"), device_fbank=True, **kw)
+        clips = host["vid0"]
+        spans = dev["vid0"]
+        out = fbank_clips_from_spans(
+            jnp.asarray(spans["waveforms"])[None],
+            jnp.asarray(spans["valid_frames"])[None],
+            melbins=16,
+            target_length=32,
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], clips, atol=2e-3, rtol=2e-3)
+
+    def test_missing_audio_is_exact_zero(self, fixture_dataset):
+        import jax.numpy as jnp
+
+        from valor_tpu.data.fbank import fbank_clips_from_spans
+
+        dev = AudioMapper(
+            str(fixture_dataset / "audio"), sample_num=2, melbins=16,
+            target_length=32, training=False, device_fbank=True,
+        )
+        spans = dev["vid2"]  # no wav on disk
+        assert (spans["valid_frames"] == -1).all()
+        out = fbank_clips_from_spans(
+            jnp.asarray(spans["waveforms"])[None],
+            jnp.asarray(spans["valid_frames"])[None],
+            melbins=16, target_length=32,
+        )
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_collate_and_model_forward(self, fixture_dataset, bert_tok):
+        import jax
+        import jax.numpy as jnp
+
+        from tests.conftest import tiny_model_config
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.models.valor import VALORModel
+
+        txt = TxtMapper(str(fixture_dataset / "txt.json"), max_len=6,
+                        bert_tokenizer=bert_tok, training=True)
+        vid = VideoMapper(str(fixture_dataset / "frames"), resolution=32,
+                          sample_num=2, training=True)
+        aud = AudioMapper(str(fixture_dataset / "audio"), sample_num=1,
+                          melbins=16, target_length=32, training=True,
+                          device_fbank=True)
+        ds = VALORDataset(str(fixture_dataset / "ids.json"), txt, vid, aud, True)
+        batch = valor_collate([ds[0], ds[1]])
+        assert batch["audio_waveforms"].ndim == 3
+        assert "audio_spectrograms" not in batch
+        device_batch = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if k in ("bert_tokens", "clip_tokens", "video_pixels",
+                     "audio_waveforms", "audio_valid_frames")
+        }
+        # tiny config uses the clip text tower; reuse the bert ids (< vocab)
+        device_batch.setdefault("clip_tokens", device_batch["bert_tokens"])
+        cfg = tiny_model_config(audio_target_length=32, audio_melbins=16)
+        model = VALORModel(cfg)
+        task = parse_task("pt_contra%tva_caption%tva")
+        params = jax.jit(
+            lambda r: model.init(r, device_batch, task, True, True)
+        )({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)})["params"]
+        out = model.apply(
+            {"params": params}, device_batch, task, True, True,
+            rngs={"mask": jax.random.PRNGKey(2)},
+        )
+        assert all(np.isfinite(float(v)) for v in out.values())
+
+
+class TestUint8Video:
+    def test_uint8_matches_f32_within_quantisation(self, fixture_dataset):
+        from valor_tpu.data.pipeline import CLIP_MEAN, CLIP_STD
+
+        kw = dict(resolution=32, sample_num=2, training=False)
+        f32 = VideoMapper(str(fixture_dataset / "frames"), **kw)["vid0"]
+        u8 = VideoMapper(str(fixture_dataset / "frames"), output_uint8=True, **kw)["vid0"]
+        assert u8.dtype == np.uint8 and u8.shape == f32.shape
+        renorm = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        # only rounding-to-uint8 apart (PIL itself quantises here)
+        assert np.max(np.abs(renorm - f32)) <= 0.5 / 255.0 / CLIP_STD.min() + 1e-5

@@ -70,6 +70,25 @@ class TestThreadedLoader:
         assert e0.tolist() != e1.tolist()
 
 
+    def test_repeat_mode_loops_epochs_in_one_pool(self):
+        """repeat=True iterates forever (fresh shuffle per epoch) without
+        tearing down the worker pool between epochs."""
+        ds = _SlowDataset(8)
+        loader = DataLoader(
+            ds, ShardedBatchSampler(8, 4, shuffle=True, seed=3), _collate,
+            n_workers=4, repeat=True,
+        )
+        it = iter(loader)
+        seen = [next(it)["x"].copy() for _ in range(6)]  # 3 epochs worth
+        # every epoch covers all 8 items
+        for e in range(3):
+            vals = sorted(np.concatenate(seen[2 * e: 2 * e + 2]).ravel().tolist())
+            assert vals == sorted(np.repeat(np.arange(8), 2).tolist())
+        # epochs reshuffle: not all epochs in the same order
+        orders = [np.concatenate(seen[2 * e: 2 * e + 2]).ravel()[::2].tolist() for e in range(3)]
+        assert any(o != orders[0] for o in orders[1:])
+
+
 class TestZeroOptimizerSharding:
     def test_moments_sharded_and_step_equal(self):
         """ZeRO placement shards big moment leaves over `data` and the

@@ -69,6 +69,7 @@ def build_dataset(
             transforms=ds.video_transforms,
             encoder_type=mcfg.video_encoder_type,
             training=training,
+            output_uint8=mcfg.uint8_pixels,
         )
         if ds.video and spec.uses_video
         else None
@@ -83,6 +84,7 @@ def build_dataset(
             mean=mcfg.audio_mean,
             std=mcfg.audio_std,
             training=training,
+            device_fbank=mcfg.device_fbank,
         )
         if ds.audio and spec.uses_audio
         else None

@@ -110,6 +110,15 @@ class ModelConfig:
     # keeps matmul outputs, trading memory for less backward recompute
     remat_policy: str = ""
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
+    # Split input pipeline (host decode -> device finish).  Both exist
+    # because TPU-VM hosts are core-starved relative to the chip
+    # (PERF_NOTES.md round-2 data campaign):
+    #   device_fbank: ship clip-span waveforms, mel/log/normalise on
+    #     device (saves 13-16 ms/sample of host DFT work),
+    #   uint8_pixels: ship raw uint8 frames, normalise on device (4x
+    #     less collate + H2D traffic; exact PIL-rounding parity).
+    device_fbank: bool = True
+    uint8_pixels: bool = True
     # NOTE: no flash-attention knob — XLA's fused attention won every
     # fwd+bwd A/B at VALOR sequence lengths, including against a
     # mask-native (segment-ids) Pallas flash kernel, so the kernel was

@@ -196,3 +196,58 @@ def uniform_chunk_indices(
             picks.append(jnp.asarray(ch)[r])
         return jnp.stack(picks)
     return jnp.asarray([ch[(len(ch) + 1) // 2 - 1] for ch in chunks])
+
+
+def clip_span_samples(
+    target_length: int = 512,
+    sample_frequency: int = 22050,
+    frame_shift_ms: float = 10.0,
+    frame_length_ms: float = 25.0,
+) -> int:
+    """Samples covering `target_length` kaldi frames (snip_edges)."""
+    shift = int(sample_frequency * frame_shift_ms / 1000.0)
+    win = int(sample_frequency * frame_length_ms / 1000.0)
+    return (target_length - 1) * shift + win
+
+
+def fbank_clips_from_spans(
+    wavs: jnp.ndarray,  # [B, n, L] float32 clip-span waveforms (zero-padded)
+    valid_frames: jnp.ndarray,  # [B, n] int32: frames of real signal; -1 = audio missing
+    melbins: int = 64,
+    target_length: int = 512,
+    sample_frequency: int = 22050,
+    frame_shift_ms: float = 10.0,
+    mean: float = -4.2677393,
+    std: float = 4.5689974,
+) -> jnp.ndarray:
+    """Device-side half of the split audio pipeline -> [B, n, mel, T].
+
+    The 1-core TPU-VM host cannot afford per-sample mel extraction
+    (measured 13-16 ms/sample, PERF_NOTES.md); instead AudioMapper
+    (device_fbank=True) ships fixed-length clip-span waveforms and this
+    runs framing -> window -> DFT-as-matmul -> mel -> log -> zero-pad
+    masking -> (x-mean)/(2*std) inside the train/eval jit.
+
+    Exact pad semantics of the host path (reference data/data.py:283-315):
+      * frames >= valid_frames are the reference's zero fb rows (they get
+        normalised like everything else -> (0-mean)/(2*std)),
+      * valid_frames == -1 marks missing audio: the output is exactly
+        zero (the reference returns a zero tensor INSTEAD of normalised
+        clips, data/data.py:272-275).
+    """
+    b, n, L = wavs.shape
+    flat = wavs.reshape(b * n, L)
+    fb = jax.vmap(
+        lambda w: fbank(
+            w,
+            sample_frequency=sample_frequency,
+            num_mel_bins=melbins,
+            frame_shift_ms=frame_shift_ms,
+        )
+    )(flat)  # [B*n, T, mel]
+    valid = valid_frames.reshape(b * n)
+    frame_ok = jnp.arange(target_length)[None, :] < jnp.maximum(valid, 0)[:, None]
+    fb = jnp.where(frame_ok[..., None], fb, 0.0)
+    out = (fb - mean) / (2.0 * std)
+    out = jnp.where((valid >= 0)[:, None, None], out, 0.0)
+    return jnp.transpose(out.reshape(b, n, target_length, melbins), (0, 1, 3, 2))

@@ -80,23 +80,39 @@ class DataLoader:
         collate_fn: Callable,
         n_workers: int = 0,
         prefetch_batches: int = 2,
+        repeat: bool = False,
     ):
         self.dataset = dataset
         self.sampler = sampler
         self.collate_fn = collate_fn
         self.n_workers = n_workers
         self.prefetch_batches = max(prefetch_batches, 1)
+        # repeat=True: iterate epochs forever INSIDE one worker pool
+        # (sampler epoch bumped for a fresh shuffle each pass).  Restarting
+        # iteration from outside instead tears down the pool and drains the
+        # prefetch pipeline every epoch — ruinous on small datasets (the
+        # per-epoch refill gap is prefetch_batches * batch build time).
+        self.repeat = repeat
+
+    def _batch_indices(self) -> Iterator[Any]:
+        epoch = 0
+        while True:
+            yield from self.sampler
+            if not self.repeat:
+                return
+            epoch += 1
+            self.sampler.set_epoch(epoch)
 
     def _produce(self) -> Iterator[Any]:
         if self.n_workers <= 1:
-            for batch_idx in self.sampler:
+            for batch_idx in self._batch_indices():
                 yield self.collate_fn([self.dataset[i] for i in batch_idx])
             return
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.n_workers) as pool:
-            it = iter(self.sampler)
+            it = self._batch_indices()
             pending: deque = deque()
 
             def submit():

@@ -83,6 +83,26 @@ def decode_resize_batch(
     return out, failures
 
 
+def decode_resize_batch_u8(
+    paths: List[str], size: Tuple[int, int]
+) -> Tuple[np.ndarray, int]:
+    """paths -> [n, H, W, 3] uint8 (PIL-parity rounding); (array, n_failed).
+
+    The normalisation runs on the accelerator (VALORModel.encode_video
+    uint8 path) — uint8 shipping quarters collate + H2D traffic, which
+    matters on a 1-core host (PERF_NOTES.md)."""
+    lib = load_library()
+    assert lib is not None
+    n = len(paths)
+    h, w = size
+    out = np.empty((n, h, w, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.decode_resize_batch_u8(
+        c_paths, n, w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out, failures
+
+
 def fbank(
     wav: np.ndarray,
     sample_rate: int,

@@ -138,6 +138,7 @@ class VideoMapper:
         transforms: str = "none",
         encoder_type: str = "clip_vit_base_16",
         training: bool = True,
+        output_uint8: bool = False,
     ):
         self.video_dir = video_dir
         self.resolution = resolution
@@ -145,6 +146,10 @@ class VideoMapper:
         self.datatype = datatype
         self.transforms = transforms
         self.training = training
+        # ship raw uint8 pixels; normalisation fuses into the on-device
+        # patch embed (encode_video).  This is also exact PIL parity —
+        # PIL's resize rounds to uint8 BEFORE the reference normalises.
+        self.output_uint8 = output_uint8
         if encoder_type.startswith("clip"):
             self.mean, self.std = CLIP_MEAN, CLIP_STD
         else:
@@ -180,6 +185,9 @@ class VideoMapper:
         out = []
         for f in frames:
             f = self._augment(f.convert("RGB"), rng, crop_params)
+            if self.output_uint8:
+                out.append(np.asarray(f, np.uint8))
+                continue
             arr = np.asarray(f, np.float32) / 255.0
             out.append((arr - self.mean) / self.std)
         return np.stack(out)  # [n, H, W, 3]
@@ -199,9 +207,14 @@ class VideoMapper:
 
                     if native.available():
                         res = self.resolution
-                        out, failed = native.decode_resize_batch(
-                            paths, (res, res), self.mean, self.std
-                        )
+                        if self.output_uint8:
+                            out, failed = native.decode_resize_batch_u8(
+                                paths, (res, res)
+                            )
+                        else:
+                            out, failed = native.decode_resize_batch(
+                                paths, (res, res), self.mean, self.std
+                            )
                         if failed:
                             return None
                         return out
@@ -240,6 +253,13 @@ def load_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 class AudioMapper:
+    """wav -> normalised log-mel clips [n, mel, T] (host path), or — with
+    ``device_fbank=True`` — fixed-length clip-span waveforms for the
+    on-device mel pipeline (fbank.fbank_clips_from_spans).  The split
+    exists because a 1-core TPU-VM host cannot afford 13-16 ms of mel
+    extraction per sample (PERF_NOTES.md round-2 campaign); clip choice
+    stays on the host (cheap RNG), framing/DFT/mel/log ride the MXU."""
+
     def __init__(
         self,
         audio_dir: str,
@@ -250,6 +270,8 @@ class AudioMapper:
         mean: float = -4.2677393,
         std: float = 4.5689974,
         training: bool = True,
+        device_fbank: bool = False,
+        sample_frequency: int = 22050,
     ):
         self.audio_dir = audio_dir
         self.sample_num = sample_num
@@ -259,8 +281,58 @@ class AudioMapper:
         self.mean = mean
         self.std = std
         self.training = training
+        self.device_fbank = device_fbank
+        self.sample_frequency = sample_frequency
+
+    def _span_samples(self) -> int:
+        from valor_tpu.data.fbank import clip_span_samples
+
+        return clip_span_samples(
+            self.target_length, self.sample_frequency, self.frame_shift_ms
+        )
+
+    def _spans(self, id_) -> Optional[Dict[str, np.ndarray]]:
+        """device_fbank half: {'waveforms': [n, L], 'valid_frames': [n]}."""
+        L = self._span_samples()
+        path = os.path.join(self.audio_dir, str(id_) + ".wav")
+        if not os.path.exists(path):
+            # missing audio -> exact zero output on device (valid = -1)
+            return {
+                "waveforms": np.zeros((self.sample_num, L), np.float32),
+                "valid_frames": np.full((self.sample_num,), -1, np.int32),
+            }
+        wav, sr = load_wav(path)
+        if sr != self.sample_frequency:  # rare: linear resample on host
+            n_out = int(round(len(wav) * self.sample_frequency / sr))
+            wav = np.interp(
+                np.linspace(0.0, len(wav) - 1.0, n_out),
+                np.arange(len(wav)),
+                wav,
+            ).astype(np.float32)
+        wav = wav - wav.mean()
+        shift = int(self.sample_frequency * self.frame_shift_ms / 1000.0)
+        win = int(self.sample_frequency * 25.0 / 1000.0)
+        src = max(1 + (len(wav) - win) // shift, 1)
+        T = self.target_length
+        total = src // T + 1  # reference always pads > 0 (data/data.py:291)
+        rng = random.Random()
+        picks = chunk_pick(uniform_chunks(list(range(total)), self.sample_num), self.training, rng)
+        spans = np.zeros((self.sample_num, L), np.float32)
+        valid = np.zeros((self.sample_num,), np.int32)
+        for j, c in enumerate(picks):
+            s0 = c * T * shift
+            chunk = wav[s0 : s0 + L]
+            spans[j, : len(chunk)] = chunk
+            valid[j] = int(np.clip(src - c * T, 0, T))
+        return {"waveforms": spans, "valid_frames": valid}
 
     def __getitem__(self, id_) -> Optional[np.ndarray]:
+        try:
+            if self.device_fbank:
+                return self._spans(id_)
+        except Exception as e:
+            LOGGER.debug(f"audio mapper failed for {id_}: {e}")
+            return None
         path = os.path.join(self.audio_dir, str(id_) + ".wav")
         if not os.path.exists(path):
             # missing audio -> zero spectrogram (data/data.py:272-275)
@@ -352,7 +424,15 @@ def valor_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     if samples[0]["video"] is not None:
         batch["video_pixels"] = np.stack([s["video"] for s in samples])
     if samples[0]["audio"] is not None:
-        batch["audio_spectrograms"] = np.stack([s["audio"] for s in samples])
+        if isinstance(samples[0]["audio"], dict):  # device_fbank spans
+            batch["audio_waveforms"] = np.stack(
+                [s["audio"]["waveforms"] for s in samples]
+            )
+            batch["audio_valid_frames"] = np.stack(
+                [s["audio"]["valid_frames"] for s in samples]
+            )
+        else:
+            batch["audio_spectrograms"] = np.stack([s["audio"] for s in samples])
     batch["ids_txt"] = ids_txt
     batch["sample_num"] = [s["num_samples"] for s in samples]
     return batch

@@ -230,7 +230,23 @@ class VALORModel(nn.Module):
     # encoders (reference: modeling.py:437-502)
     # ------------------------------------------------------------------
     def encode_video(self, video_pixels: jnp.ndarray) -> jnp.ndarray:
-        """[B, n, H, W, 3] -> [B, n, x, C] (all tokens per frame)."""
+        """[B, n, H, W, 3] -> [B, n, x, C] (all tokens per frame).
+
+        uint8 input is accepted: the host may ship raw pixels (4x less
+        H2D + collate traffic than normalised f32 — VideoMapper
+        output_uint8) and the (x/255 - mean)/std normalisation fuses
+        into the patch-embed matmul here on device."""
+        if video_pixels.dtype == jnp.uint8:
+            from valor_tpu.data.pipeline import CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD
+
+            mean, std = (
+                (CLIP_MEAN, CLIP_STD)
+                if self.is_clip_video
+                else (IMAGENET_MEAN, IMAGENET_STD)
+            )
+            video_pixels = (
+                video_pixels.astype(self._dtype) / 255.0 - jnp.asarray(mean, self._dtype)
+            ) / jnp.asarray(std, self._dtype)
         b, n = video_pixels.shape[:2]
         if self.is_videoswin:
             out = self.video_encoder(video_pixels)  # [B, D, Hp, Wp, C]
@@ -504,6 +520,18 @@ class VALORModel(nn.Module):
     # task forwards
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, Any], task: TaskSpec, compute_loss: bool = True, train: bool = True):
+        if batch.get("audio_waveforms") is not None:
+            # device-side mel: the host ships clip-span waveforms
+            # (AudioMapper device_fbank=True; fbank.py rationale)
+            from valor_tpu.data.fbank import fbank_clips_from_spans
+
+            batch = dict(batch)
+            batch["audio_spectrograms"] = fbank_clips_from_spans(
+                batch.pop("audio_waveforms"),
+                batch.pop("audio_valid_frames"),
+                melbins=self.cfg.audio_melbins,
+                target_length=self.cfg.audio_target_length,
+            ).astype(self._dtype)
         if task.family == "pt":
             return self.forward_pt(batch, task, compute_loss, train)
         if task.family == "ret":

@@ -100,7 +100,7 @@ def shard_batch(mesh: Mesh, batch):
 
 def _local_rows(batch) -> int:
     """Per-process media row count for tile_index offsetting."""
-    for key in ("video_pixels", "audio_spectrograms"):
+    for key in ("video_pixels", "audio_spectrograms", "audio_waveforms"):
         if batch.get(key) is not None:
             return batch[key].shape[0]
     return 0
