@@ -53,6 +53,10 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  // NOTE: JDCT_IFAST and do_fancy_upsampling=FALSE were both tried for
+  // the core-starved-host data path and rejected: either drops the
+  // PIL-decode correlation below the 0.98 parity bar (test_native.py) —
+  // full-quality decode is the parity contract.
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
