@@ -208,6 +208,11 @@ def main():
         # ALU-heavy on TPU); matches TrainConfig.prng_impl='rbg', the
         # production default
         jax.config.update("jax_default_prng_impl", "rbg")
+    if os.environ.get("BENCH_SCORES_BF16", "1") != "0":
+        # production default (ModelConfig.attention_logits_dtype)
+        from valor_tpu.ops.layers import set_scores_dtype
+
+        set_scores_dtype("bfloat16")
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
         from valor_tpu.ops.layers import set_remat_policy

@@ -266,9 +266,10 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     # compute-policy switches, set before the first trace: einsum is the
     # measured-faster attention at VALOR sequence lengths (PERF_NOTES.md);
     # remat_policy selects the jax.checkpoint save-list
-    from valor_tpu.ops.layers import set_remat_policy
+    from valor_tpu.ops.layers import set_remat_policy, set_scores_dtype
 
     set_remat_policy(cfg.model.remat_policy)
+    set_scores_dtype(cfg.model.attention_logits_dtype)
 
     model = VALORModel(cfg.model)
     if isinstance(example_batches, dict) and example_batches and all(

@@ -110,6 +110,13 @@ class ModelConfig:
     # keeps matmul outputs, trading memory for less backward recompute
     remat_policy: str = ""
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
+    # dtype of the materialised [B,H,Q,K] attention logits (softmax still
+    # reduces in fp32 registers).  'bfloat16' halves the largest
+    # intermediate's HBM traffic: measured +9% step throughput at
+    # flagship shapes (PERF_NOTES.md).  The reference's apex-O2 fp16 mode
+    # likewise keeps these tensors in half precision.  Only applied when
+    # `dtype` itself is half precision; set 'float32' to opt out.
+    attention_logits_dtype: str = "bfloat16"
     # Split input pipeline (host decode -> device finish).  Both exist
     # because TPU-VM hosts are core-starved relative to the chip
     # (PERF_NOTES.md round-2 data campaign):

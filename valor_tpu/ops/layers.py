@@ -151,6 +151,17 @@ def maybe_dropout(module: "nn.Module", x: jnp.ndarray, rate: float) -> jnp.ndarr
 
 _REMAT_POLICY = [None]  # trace-time module-level switch
 
+# trace-time dtype for the materialised attention logits (None = fp32).
+# See dot_product_attention; set_scores_dtype("bfloat16") halves the
+# [B,H,Q,K] intermediate's HBM traffic on bf16 models.
+_SCORES_DTYPE = [None]
+
+
+def set_scores_dtype(name) -> None:
+    import jax.numpy as _jnp
+
+    _SCORES_DTYPE[0] = None if not name or name == "float32" else _jnp.dtype(name)
+
 
 def set_remat_policy(name) -> None:
     """Select the jax.checkpoint policy used when remat is on.
@@ -199,7 +210,15 @@ def dot_product_attention(
     scores = scores / math.sqrt(depth)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if _SCORES_DTYPE[0] is not None and dtype != jnp.float32:
+        # store the [B,H,Q,K] logits in bf16 (the matmul epilogue casts,
+        # the softmax kernel upcasts in-register): halves the largest
+        # intermediate's HBM traffic.  The reference's apex-O2 fp16 mode
+        # keeps these tensors in HALF precision throughout.
+        scores = scores.astype(_SCORES_DTYPE[0])
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
     return out
 
