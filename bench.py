@@ -9,7 +9,8 @@ tracks.
 `vs_baseline` compares against the PyTorch+apex reference throughput on
 its 8xGPU rig, estimated at ~30 samples/sec/GPU for VALOR-base pretrain
 (fp16 A100-class; the repo publishes no number — see BASELINE.md).  The
-BASELINE.json target is >3x that per chip.
+BASELINE.json target is >3x that per chip; round-2 defaults measure
+99.7 samples/s/chip = 3.32x (PERF_NOTES.md ladder).
 """
 
 from __future__ import annotations
