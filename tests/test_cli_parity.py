@@ -206,3 +206,50 @@ class TestQASubmissionDumps:
         submit = json.load(open(out_dir / "step7_tv_pred_submited_fixqa.json"))
         assert [s["question_id"] for s in submit] == [17, 42]
         assert all("answer" in s for s in submit)
+
+
+class TestCaptionSubmissionFormats:
+    """Caption leaderboard dumps (reference --coco_submit/--nocaps_submit/
+    --vatex_submit, test.py:136-236) via validate_cap(submit_format=...)."""
+
+    def _run(self, tmp_path, monkeypatch, fmt, ids):
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.eval import validate as V
+
+        def fake_generate(model, params, batch, groups, **kw):
+            n = len(batch["_n"]) if "_n" in batch else 2
+            return {f"generated_sequences_{groups[0]}": np.full((n, 3), 102)}
+
+        monkeypatch.setattr(gen, "generate", fake_generate)
+
+        class Tok:
+            def decode(self, ids_):
+                return "a cap"
+
+            def convert_ids_to_tokens(self, ids_):
+                return ["a", "cap"]
+
+        loader = iter([{"ids": list(ids), "_n": list(ids)}])
+        out_dir = tmp_path / f"res_{fmt or 'none'}"
+        rep = V.validate_cap(
+            None, None, loader, __import__("valor_tpu.core.tasks", fromlist=["parse_task"]).parse_task("cap%tv"),
+            Tok(), {}, result_dir=str(out_dir), step=5, submit_format=fmt,
+        )
+        return rep, out_dir
+
+    def test_coco_format(self, tmp_path, monkeypatch):
+        rep, out = self._run(tmp_path, monkeypatch, "coco", ["coco_123", "coco_7"])
+        assert rep == {}  # submit mode skips metrics
+        sub = json.load(open(out / "submission.json"))
+        assert {s["image_id"] for s in sub} == {123, 7}
+        assert all("caption" in s for s in sub)
+
+    def test_nocaps_format(self, tmp_path, monkeypatch):
+        _, out = self._run(tmp_path, monkeypatch, "nocaps", ["11", "12"])
+        sub = json.load(open(out / "submission.json"))
+        assert {s["image_id"] for s in sub} == {11, 12}
+
+    def test_vatex_format(self, tmp_path, monkeypatch):
+        _, out = self._run(tmp_path, monkeypatch, "vatex", ["va", "vb"])
+        sub = json.load(open(out / "submission.json"))
+        assert set(sub) == {"va", "vb"}

@@ -79,8 +79,13 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                     cfg.model.evaluate_ret_text,
                 )
             elif task.family == "cap":
-                ann = _json.load(open(flow.datasets[0].txt))
-                ann = {str(k): v if isinstance(v, list) else [v] for k, v in ann.items()}
+                # submission mode has no annotation file (reference sets
+                # txt_mapper=None, train_utils.py:448)
+                if cfg.train.submit_format or not flow.datasets[0].txt:
+                    ann = {}
+                else:
+                    ann = _json.load(open(flow.datasets[0].txt))
+                    ann = {str(k): v if isinstance(v, list) else [v] for k, v in ann.items()}
                 reports[name] = V.validate_cap(
                     model, params, iter(loader), task, bert_tok, ann,
                     caption_type=cfg.model.caption_type,
@@ -88,6 +93,7 @@ def make_validate_fn(cfg: Config, model, tokenizers):
                     beam_size=cfg.model.beam_size,
                     result_dir=os.path.join(out_dir, f"results_test_{name}"),
                     step=step,
+                    submit_format=cfg.train.submit_format or None,
                 )
             elif task.family == "qa":
                 ans = _json.load(open(flow.datasets[0].txt))
@@ -170,6 +176,26 @@ def main(argv=None):
         example_batches[task_str] = {
             k: v for k, v in batch.items() if k not in host_keys
         }
+    # ... and every VAL task family: a val-only family (e.g. caption eval
+    # on a retrieval train config) needs heads/caches the train tasks
+    # never traced.  The reference never hits this — torch constructs all
+    # submodules unconditionally (modeling.py:283).
+    if cfg.data_val:
+        from valor_tpu.cli.build import build_dataset, collate_for
+        from valor_tpu.core.tasks import parse_task as _pt
+
+        traced_families = {_pt(t).family for t in example_batches}
+        for flow in cfg.data_val:
+            spec = _pt(flow.task)
+            if spec.family in traced_families or flow.task in example_batches:
+                continue
+            traced_families.add(spec.family)
+            ds = build_dataset(flow, cfg.model, tokenizers, training=False)
+            collate = collate_for(flow.task, False)
+            batch = collate([ds[i] for i in range(min(2, len(ds)))])
+            example_batches[flow.task] = {
+                k: v for k, v in batch.items() if k not in host_keys
+            }
 
     # device mesh: data-parallel over all chips (the reference's 8-GPU DDP,
     # train_utils.py:232) x optional tensor-parallel `model` axis

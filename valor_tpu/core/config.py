@@ -197,6 +197,11 @@ class TrainConfig:
     seed: int = 42
     valid_steps: int = 1000
     valid_freq: int = 10
+    # caption-benchmark submission mode: '' | 'coco' | 'nocaps' | 'vatex'.
+    # Reference flags --coco_submit/--nocaps_submit/--vatex_submit
+    # (test.py:136-236): dump server-format submission.json instead of
+    # computing local metrics.
+    submit_format: str = ""
     save_best: bool = False
     remove_before_ckpt: bool = True
     resume: bool = False
