@@ -316,3 +316,49 @@ class TestUint8Video:
         renorm = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
         # only rounding-to-uint8 apart (PIL itself quantises here)
         assert np.max(np.abs(renorm - f32)) <= 0.5 / 255.0 / CLIP_STD.min() + 1e-5
+
+
+class TestGenerateWithWaveforms:
+    def test_generate_uses_waveforms(self, fixture_dataset, bert_tok):
+        """gen.generate must materialise spectrograms from device_fbank
+        batches — audio groups were silently dropped otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        from tests.conftest import tiny_model_config
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.data.fbank import fbank_clips_from_spans
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.models.valor import VALORModel
+
+        aud = AudioMapper(str(fixture_dataset / "audio"), sample_num=1,
+                          melbins=16, target_length=32, training=False,
+                          device_fbank=True)
+        spans0, spans1 = aud["vid0"], aud["vid1"]
+        wav_batch = {
+            "audio_waveforms": jnp.asarray(np.stack([spans0["waveforms"], spans1["waveforms"]])),
+            "audio_valid_frames": jnp.asarray(np.stack([spans0["valid_frames"], spans1["valid_frames"]])),
+        }
+        cfg = tiny_model_config(audio_target_length=32, audio_melbins=16)
+        model = VALORModel(cfg)
+        task = parse_task("cap%ta")
+        init_batch = dict(wav_batch)
+        txt = np.full((2, 6), 0, np.int32); txt[:, 0] = 101
+        init_batch["bert_tokens"] = jnp.asarray(txt)
+        init_batch["clip_tokens"] = jnp.asarray(txt)
+        params = jax.jit(
+            lambda r: model.init(r, init_batch, task, True, True)
+        )({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)})["params"]
+
+        out_wav = gen.generate(model, params, dict(wav_batch), ("ta",), max_len=4)
+        spec = fbank_clips_from_spans(
+            wav_batch["audio_waveforms"], wav_batch["audio_valid_frames"],
+            melbins=16, target_length=32,
+        ).astype(jnp.float32)
+        out_spec = gen.generate(
+            model, params, {"audio_spectrograms": spec}, ("ta",), max_len=4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_wav["generated_sequences_ta"]),
+            np.asarray(out_spec["generated_sequences_ta"]),
+        )

@@ -241,6 +241,20 @@ def generate(
     Encodes media once, then decodes per modality group.  Returns
     {'generated_sequences_<group>': [B, max_len], 'logprobs_<group>': ...}.
     """
+    if batch.get("audio_waveforms") is not None:
+        # device_fbank batches ship clip-span waveforms; materialise the
+        # spectrograms exactly as VALORModel.__call__ does so audio
+        # groups aren't silently dropped (tests/test_data.py
+        # test_generate_uses_waveforms)
+        from valor_tpu.data.fbank import fbank_clips_from_spans
+
+        batch = dict(batch)
+        batch["audio_spectrograms"] = fbank_clips_from_spans(
+            batch.pop("audio_waveforms"),
+            batch.pop("audio_valid_frames"),
+            melbins=model.cfg.audio_melbins,
+            target_length=model.cfg.audio_target_length,
+        ).astype(jnp.dtype(model.cfg.dtype))
     video_input = None
     audio_input = None
     if any("v" in g for g in groups) and batch.get("video_pixels") is not None:
