@@ -187,6 +187,75 @@ def main_data_inclusive():
     )
 
 
+def main_generate():
+    """BENCH_GEN=1: caption-generation (serving) throughput — encode media
+    once + fixed-buffer greedy/beam decode, end-to-end under one jit
+    (eval/generate.py).  Reports captions/s/chip."""
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.eval import generate as gen
+    from valor_tpu.models.valor import VALORModel
+    from __graft_entry__ import _flagship_config, _synthetic_batch
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 64))
+    max_len = int(os.environ.get("BENCH_GEN_LEN", 30))
+    beam = int(os.environ.get("BENCH_BEAM", 1))
+    if os.environ.get("BENCH_RBG", "1") != "0":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    if os.environ.get("BENCH_SCORES_BF16", "1") != "0":
+        from valor_tpu.ops.layers import set_scores_dtype
+
+        set_scores_dtype("bfloat16")
+
+    cfg = _flagship_config()
+    model = VALORModel(cfg)
+    task = parse_task("pt_contra%tva_caption%tva")
+    batch = _synthetic_batch(batch=batch_size)
+    params = jax.jit(
+        lambda rngs: model.init(rngs, batch, task, True, True)
+    )({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)})["params"]
+
+    gen_batch = {k: batch[k] for k in ("bert_tokens", "video_pixels", "audio_spectrograms")}
+
+    @jax.jit
+    def run(params, b, salt):
+        # the tunneled runtime memoizes identical executions; the salt
+        # perturbs the input so every call really runs
+        b = dict(b)
+        b["video_pixels"] = b["video_pixels"] + salt.astype(b["video_pixels"].dtype) * 1e-6
+        out = gen.generate(
+            model, params, b, ("tva",),
+            caption_type=cfg.caption_type, max_len=max_len, beam_size=beam,
+        )
+        return out["generated_sequences_tva"]
+
+    import sys
+
+    t0 = time.perf_counter()
+    _ = np.asarray(run(params, gen_batch, jnp.asarray(0.0)))  # host readback
+    print(f"gen compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        # np.asarray = ground-truth sync: block_until_ready does not block
+        # on this runtime's remote arrays (measured 1 ms "steps")
+        _ = np.asarray(run(params, gen_batch, jnp.asarray(float(i + 1))))
+        times.append(time.perf_counter() - t0)
+    cps = batch_size / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "valor_base_caption_generation_captions_per_sec_per_chip",
+                "value": round(cps, 2),
+                "unit": "captions/s/chip",
+                "batch": batch_size,
+                "max_len": max_len,
+                "beam_size": beam,
+                "step_seconds": [round(t, 3) for t in times],
+            }
+        )
+    )
+
+
 def main():
     from valor_tpu.core.config import TrainConfig
     from valor_tpu.core.tasks import parse_task
@@ -310,5 +379,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_DATA"):
         main_data_inclusive()
+    elif os.environ.get("BENCH_GEN"):
+        main_generate()
     else:
         main()
