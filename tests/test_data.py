@@ -362,3 +362,36 @@ class TestGenerateWithWaveforms:
             np.asarray(out_wav["generated_sequences_ta"]),
             np.asarray(out_spec["generated_sequences_ta"]),
         )
+
+
+class TestQACollateWithSpans:
+    def test_qa_collates_device_fbank_audio(self):
+        from valor_tpu.data.vqa import valorqa_collate_test, valorqa_collate_train
+
+        def sample(i, train=True):
+            tok = np.full((6,), 5 + i, np.int32)
+            qa_train = {
+                "question": {"bert_tokens": tok},
+                "answer": [{"bert_tokens": tok}],
+                "answer_weights": [1.0],
+            }
+            qa_test = {
+                "questions": [{"bert_tokens": tok}],
+                "answers": ["yes"],
+                "question_ids": [i],
+            }
+            return {
+                "id": f"v{i}",
+                "qa": qa_train if train else qa_test,
+                "video": np.zeros((1, 8, 8, 3), np.float32),
+                "audio": {
+                    "waveforms": np.zeros((1, 100), np.float32),
+                    "valid_frames": np.asarray([3], np.int32),
+                },
+            }
+
+        for collate, train in ((valorqa_collate_train, True), (valorqa_collate_test, False)):
+            batch = collate([sample(0, train), sample(1, train)])
+            assert batch["audio_waveforms"].shape == (2, 1, 100)
+            assert batch["audio_valid_frames"].shape == (2, 1)
+            assert "audio_spectrograms" not in batch

@@ -407,6 +407,18 @@ class VALORDataset:
         }
 
 
+def collate_audio(batch: Dict[str, Any], audios: Sequence[Any]) -> None:
+    """Stack per-sample audio into the batch: normalised spectrograms
+    (host path) or clip-span waveform dicts (AudioMapper device_fbank)."""
+    if audios[0] is None:
+        return
+    if isinstance(audios[0], dict):  # device_fbank spans
+        batch["audio_waveforms"] = np.stack([a["waveforms"] for a in audios])
+        batch["audio_valid_frames"] = np.stack([a["valid_frames"] for a in audios])
+    else:
+        batch["audio_spectrograms"] = np.stack(audios)
+
+
 def valor_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     """Dense batch with the reference's key layout (data/data.py:388-430)."""
     ids = [s["id"] for s in samples]
@@ -423,16 +435,7 @@ def valor_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
             ids_txt = [s["id_txt"] for s in samples]
     if samples[0]["video"] is not None:
         batch["video_pixels"] = np.stack([s["video"] for s in samples])
-    if samples[0]["audio"] is not None:
-        if isinstance(samples[0]["audio"], dict):  # device_fbank spans
-            batch["audio_waveforms"] = np.stack(
-                [s["audio"]["waveforms"] for s in samples]
-            )
-            batch["audio_valid_frames"] = np.stack(
-                [s["audio"]["valid_frames"] for s in samples]
-            )
-        else:
-            batch["audio_spectrograms"] = np.stack([s["audio"] for s in samples])
+    collate_audio(batch, [s["audio"] for s in samples])
     batch["ids_txt"] = ids_txt
     batch["sample_num"] = [s["num_samples"] for s in samples]
     return batch

@@ -137,8 +137,9 @@ def valorqa_collate_train(
         batch["tile_index"] = np.asarray(tile_index, np.int32)
     if samples[0]["video"] is not None:
         batch["video_pixels"] = np.stack([s["video"] for s in samples])
-    if samples[0]["audio"] is not None:
-        batch["audio_spectrograms"] = np.stack([s["audio"] for s in samples])
+    from valor_tpu.data.pipeline import collate_audio
+
+    collate_audio(batch, [s["audio"] for s in samples])
     return batch
 
 
@@ -165,6 +166,7 @@ def valorqa_collate_test(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     }
     if samples[0]["video"] is not None:
         batch["video_pixels"] = np.stack([s["video"] for s in samples])
-    if samples[0]["audio"] is not None:
-        batch["audio_spectrograms"] = np.stack([s["audio"] for s in samples])
+    from valor_tpu.data.pipeline import collate_audio
+
+    collate_audio(batch, [s["audio"] for s in samples])
     return batch
