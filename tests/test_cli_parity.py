@@ -253,3 +253,56 @@ class TestCaptionSubmissionFormats:
         _, out = self._run(tmp_path, monkeypatch, "vatex", ["va", "vb"])
         sub = json.load(open(out / "submission.json"))
         assert set(sub) == {"va", "vb"}
+
+
+class TestQAFallbackRowMapping:
+    """validate_qa's answers-dict fallback must map tiled rows to their
+    source ids via tile_index (round-2 clamped the index, scoring tail rows
+    against the wrong ground truth)."""
+
+    def _run(self, monkeypatch, batch, answers):
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.eval import validate as V
+
+        captured = {}
+
+        def fake_generate(model, params, b, groups, **kw):
+            n = len(b["tile_index"]) if b.get("tile_index") is not None else len(b["_n"])
+            return {f"generated_sequences_{groups[0]}": np.full((n, 3), 102)}
+
+        monkeypatch.setattr(gen, "generate", fake_generate)
+
+        class Tok:
+            def decode(self, ids_):
+                return "x"
+
+        real_qa_accuracy = V.qa_accuracy
+
+        def spy(preds, gts):
+            captured["gts"] = list(gts)
+            return real_qa_accuracy(preds, gts)
+
+        monkeypatch.setattr(V, "qa_accuracy", spy)
+        V.validate_qa(
+            None, None, iter([batch]), parse_task("qa%tv"), Tok(), answers=answers
+        )
+        return captured["gts"]
+
+    def test_tiled_rows_map_by_tile_index(self, monkeypatch):
+        # 3 question rows from 2 media ids: rows -> v0, v0, v1
+        batch = {
+            "ids": ["v0", "v1"],
+            "tile_index": np.array([0, 0, 1], np.int32),
+        }
+        gts = self._run(monkeypatch, batch, {"v0": "cat", "v1": "dog"})
+        assert gts == ["cat", "cat", "dog"]
+
+    def test_row_overflow_raises(self, monkeypatch):
+        # more generated rows than id rows with no tiling info: loud error,
+        # not silent clamping
+        import pytest
+
+        batch = {"ids": ["v0"], "_n": ["r0", "r1"], "tile_index": None}
+        with pytest.raises(ValueError, match="id rows"):
+            self._run(monkeypatch, batch, {"v0": "cat"})

@@ -395,3 +395,124 @@ class TestQACollateWithSpans:
             assert batch["audio_waveforms"].shape == (2, 1, 100)
             assert batch["audio_valid_frames"].shape == (2, 1)
             assert "audio_spectrograms" not in batch
+
+
+class TestResampler:
+    """Polyphase Kaiser-sinc resampler (data/resample.py) replacing the
+    round-2 np.interp path (no alias rejection; ADVICE round 2)."""
+
+    def _sine(self, freq, sr, seconds=1.0):
+        t = np.arange(int(sr * seconds), dtype=np.float64) / sr
+        return np.sin(2 * math.pi * freq * t).astype(np.float32)
+
+    def _snr_db(self, ref, x):
+        n = min(len(ref), len(x))
+        err = ref[:n] - x[:n]
+        return 10 * np.log10(float((ref[:n] ** 2).sum()) / max(float((err**2).sum()), 1e-20))
+
+    def test_upsample_tone_fidelity(self):
+        # 16 kHz -> 22.05 kHz (up=441/down=320): 1 kHz tone reproduced
+        from valor_tpu.data.resample import resample
+
+        out = resample(self._sine(1000, 16000), 16000, 22050)
+        ideal = self._sine(1000, 22050)
+        # ignore filter edges
+        w = slice(2000, len(out) - 2000)
+        assert self._snr_db(ideal[w], out[w]) > 60
+
+    def test_downsample_tone_fidelity(self):
+        from valor_tpu.data.resample import resample
+
+        out = resample(self._sine(1000, 44100), 44100, 22050)
+        ideal = self._sine(1000, 22050)
+        w = slice(2000, len(out) - 2000)
+        assert self._snr_db(ideal[w], out[w]) > 60
+
+    def test_downsample_alias_rejection(self):
+        # a 15 kHz tone is above the 22.05 kHz Nyquist (11.025 kHz): it must
+        # be attenuated, not folded to 7.05 kHz (np.interp folds it at ~-10 dB)
+        from valor_tpu.data.resample import resample
+
+        out = resample(self._sine(15000, 44100), 44100, 22050)
+        rms_in = np.sqrt(np.mean(self._sine(15000, 44100) ** 2))
+        rms_out = np.sqrt(np.mean(out[2000:-2000] ** 2))
+        assert 20 * np.log10(rms_out / rms_in) < -55
+
+    def test_identity_rate(self):
+        from valor_tpu.data.resample import resample
+
+        w = np.random.RandomState(0).randn(1000).astype(np.float32)
+        np.testing.assert_array_equal(resample(w, 22050, 22050), w)
+
+
+class TestNon22050Audio:
+    """Non-22050 files go through the resampler on BOTH mapper paths; the
+    device_fbank spans stay parity with the host mel path (DIVERGENCES #17)."""
+
+    @pytest.fixture
+    def audio_16k(self, tmp_path):
+        d = tmp_path / "audio"
+        d.mkdir()
+        sr = 16000
+        t = np.arange(2 * sr, dtype=np.float64) / sr
+        sig = 0.5 * np.sin(2 * math.pi * 440 * t) + 0.2 * np.sin(2 * math.pi * 1870 * t)
+        with wave.open(str(d / "vidx.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((sig * 2e4).astype(np.int16).tobytes())
+        return d
+
+    def test_span_path_matches_host_at_16k(self, audio_16k):
+        import jax.numpy as jnp
+
+        from valor_tpu.data.fbank import fbank_clips_from_spans
+
+        kw = dict(sample_num=2, melbins=16, target_length=32, training=False)
+        host = AudioMapper(str(audio_16k), **kw)["vidx"]
+        spans = AudioMapper(str(audio_16k), device_fbank=True, **kw)["vidx"]
+        out = fbank_clips_from_spans(
+            jnp.asarray(spans["waveforms"])[None],
+            jnp.asarray(spans["valid_frames"])[None],
+            melbins=16,
+            target_length=32,
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], host, atol=2e-3, rtol=2e-3)
+
+
+class TestEvalShardCoverage:
+    """Eval sampler must cover every item across shards (the round-2
+    contiguous per_shard floor silently dropped gallery tails)."""
+
+    def test_eval_covers_all_items(self):
+        for n, shards, bs in [(103, 4, 10), (19, 2, 5), (7, 8, 4)]:
+            seen = []
+            for s in range(shards):
+                smp = ShardedBatchSampler(
+                    n_items=n, batch_size=bs, shard=s, n_shards=shards, shuffle=False
+                )
+                batches = list(smp)
+                assert len(batches) == len(smp)
+                for b in batches:
+                    seen.extend(b)
+            assert sorted(seen) == list(range(n))
+
+    def test_train_batch_count_equal_across_shards(self):
+        # n=19, 2 shards (10/9 items), bs=5: naive per-shard floor gives
+        # 2 vs 1 batches -> SPMD deadlock; globally computed count gives 1/1
+        counts = []
+        for s in range(2):
+            smp = ShardedBatchSampler(
+                n_items=19, batch_size=5, shard=s, n_shards=2, shuffle=True
+            )
+            batches = list(smp)
+            assert all(len(b) == 5 for b in batches)
+            counts.append(len(batches))
+        assert counts[0] == counts[1] == len(smp)
+
+    def test_train_shards_disjoint(self):
+        a = ShardedBatchSampler(103, 10, shard=0, n_shards=4, shuffle=True, seed=3)
+        b = ShardedBatchSampler(103, 10, shard=1, n_shards=4, shuffle=True, seed=3)
+        ia = {i for batch in a for i in batch}
+        ib = {i for batch in b for i in batch}
+        assert not (ia & ib)

@@ -24,8 +24,16 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tupl
 
 
 class ShardedBatchSampler:
-    """Contiguous per-host shard, shuffled per epoch, tail dropped so every
-    host sees the same number of full batches."""
+    """Per-host strided shard (``order[shard::n_shards]`` — the reference's
+    DistributedSampler_wopadding subsample, utils/distributed.py:185).
+
+    Train (``shuffle=True``): every shard yields the SAME number of full
+    batches — (n_items // n_shards) // batch_size, computed globally — so
+    SPMD hosts stay in lockstep.  Eval (``shuffle=False``): every item is
+    covered exactly once across shards; the final batch may be ragged and
+    shard sizes may differ by one (multihost eval gathers per-host lists,
+    so ragged shards are fine — dropping gallery items would silently
+    clip retrieval metrics)."""
 
     def __init__(
         self,
@@ -47,19 +55,25 @@ class ShardedBatchSampler:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __iter__(self) -> Iterator[List[int]]:
+    def _my_items(self) -> List[int]:
         order = list(range(self.n_items))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
-        per_shard = self.n_items // self.n_shards
-        mine = order[self.shard * per_shard : (self.shard + 1) * per_shard]
-        n_batches = len(mine) // self.batch_size if self.shuffle else -(-len(mine) // self.batch_size)
+        return order[self.shard :: self.n_shards]
+
+    def __iter__(self) -> Iterator[List[int]]:
+        mine = self._my_items()
+        n_batches = len(self)
         for b in range(n_batches):
             yield mine[b * self.batch_size : (b + 1) * self.batch_size]
 
     def __len__(self) -> int:
-        per_shard = self.n_items // self.n_shards
-        return per_shard // self.batch_size
+        if self.shuffle:  # identical on every shard
+            return (self.n_items // self.n_shards) // self.batch_size
+        mine = self.n_items // self.n_shards + int(
+            self.shard < self.n_items % self.n_shards
+        )
+        return -(-mine // self.batch_size)
 
 
 class DataLoader:

@@ -39,6 +39,14 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.decode_resize_batch_u8.restype = ctypes.c_int
+            lib.decode_resize_batch_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.fbank.restype = ctypes.c_int
             lib.fbank.argtypes = [
                 ctypes.POINTER(ctypes.c_float),

@@ -291,6 +291,22 @@ class AudioMapper:
             self.target_length, self.sample_frequency, self.frame_shift_ms
         )
 
+    def _to_analysis_rate(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Anti-aliased conversion to the configured analysis rate.
+
+        Both mapper paths (host mel and device_fbank spans) analyse at
+        ``sample_frequency`` so the mel basis — and the (x-mean)/(2*std)
+        normalisation stats tuned for it — are rate-invariant.  The
+        reference instead runs kaldi.fbank at each file's native rate
+        (data/data.py:283-315), but its own extraction tool emits 22050 Hz
+        wavs, so the paths agree on reference-layout data
+        (DIVERGENCES.md #17)."""
+        if sr == self.sample_frequency:
+            return wav
+        from valor_tpu.data.resample import resample
+
+        return resample(wav, sr, self.sample_frequency)
+
     def _spans(self, id_) -> Optional[Dict[str, np.ndarray]]:
         """device_fbank half: {'waveforms': [n, L], 'valid_frames': [n]}."""
         L = self._span_samples()
@@ -302,13 +318,7 @@ class AudioMapper:
                 "valid_frames": np.full((self.sample_num,), -1, np.int32),
             }
         wav, sr = load_wav(path)
-        if sr != self.sample_frequency:  # rare: linear resample on host
-            n_out = int(round(len(wav) * self.sample_frequency / sr))
-            wav = np.interp(
-                np.linspace(0.0, len(wav) - 1.0, n_out),
-                np.arange(len(wav)),
-                wav,
-            ).astype(np.float32)
+        wav = self._to_analysis_rate(wav, sr)
         wav = wav - wav.mean()
         shift = int(self.sample_frequency * self.frame_shift_ms / 1000.0)
         win = int(self.sample_frequency * 25.0 / 1000.0)
@@ -339,10 +349,11 @@ class AudioMapper:
             return np.zeros((self.sample_num, self.melbins, self.target_length), np.float32)
         try:
             wav, sr = load_wav(path)
+            wav = self._to_analysis_rate(wav, sr)
             wav = wav - wav.mean()
             fb = fbank_np(
                 wav,
-                sample_frequency=sr,
+                sample_frequency=self.sample_frequency,
                 num_mel_bins=self.melbins,
                 frame_shift_ms=self.frame_shift_ms,
             )

@@ -194,6 +194,12 @@ def validate_qa(
         question_ids = batch.pop("question_ids", None)
         batch.pop("ids_txt", None)
         batch.pop("sample_num", None)
+        # row -> source-media mapping BEFORE generate (which consumes
+        # tile_index to expand media to the tiled question rows)
+        tile = batch.get("tile_index")
+        row_to_id = (
+            [ids[int(t)] for t in np.asarray(tile)] if tile is not None else ids
+        )
         out = gen.generate(
             model, params, batch, task.caption_groups,
             caption_type=caption_type, max_len=max_len, beam_size=beam_size,
@@ -207,7 +213,16 @@ def validate_qa(
             if batch_answers is not None:
                 gts.append(batch_answers[j])
             else:
-                gts.append(answers[str(ids[min(j, len(ids) - 1)])])
+                # exact row -> id mapping; a mismatch means the collate and
+                # the generator disagree about the tiling — fail loudly
+                # instead of scoring the tail against the wrong answer
+                if j >= len(row_to_id):
+                    raise ValueError(
+                        f"generated {len(seqs)} rows but only "
+                        f"{len(row_to_id)} id rows; carry 'answers' in the "
+                        "batch (QA test collate) or pass tile_index"
+                    )
+                gts.append(answers[str(row_to_id[j])])
     if result_dir:
         import json
         import os

@@ -101,8 +101,16 @@ class VALORModel(nn.Module):
         def _remat(which: str) -> bool:
             if not c.checkpointing:
                 return False
-            scope = c.remat_scope.strip()
-            return scope == "all" or which in {s.strip() for s in scope.split(",")}
+            tokens = {s.strip() for s in c.remat_scope.split(",") if s.strip()}
+            bad = tokens - {"all", "vision", "text", "audio", "fusion"}
+            if bad:
+                # a typo here would silently disable checkpointing and only
+                # surface as an HBM OOM at flagship shapes
+                raise ValueError(
+                    f"remat_scope contains unknown token(s) {sorted(bad)}; "
+                    "valid: all, vision, text, audio, fusion"
+                )
+            return "all" in tokens or which in tokens
         self.is_clip_video = c.video_encoder_type.startswith("clip")
         self.is_clip_text = c.txt_encoder_type.startswith("clip")
         self.is_videoswin = c.video_encoder_type.startswith("videoswin")
@@ -244,9 +252,15 @@ class VALORModel(nn.Module):
                 if self.is_clip_video
                 else (IMAGENET_MEAN, IMAGENET_STD)
             )
+            # normalise in fp32 (host float path parity), cast at the matmul;
+            # XLA fuses the chain into the patch embed either way
             video_pixels = (
-                video_pixels.astype(self._dtype) / 255.0 - jnp.asarray(mean, self._dtype)
-            ) / jnp.asarray(std, self._dtype)
+                (
+                    video_pixels.astype(jnp.float32) / 255.0
+                    - jnp.asarray(mean, jnp.float32)
+                )
+                / jnp.asarray(std, jnp.float32)
+            ).astype(self._dtype)
         b, n = video_pixels.shape[:2]
         if self.is_videoswin:
             out = self.video_encoder(video_pixels)  # [B, D, Hp, Wp, C]
