@@ -29,6 +29,19 @@ from valor_tpu.eval.retrieval import qa_accuracy, retrieval_report
 from valor_tpu.tasks import losses as L
 
 
+# query/gallery modality split per group (reference test.py:290-377:
+# rows x columns of each score matrix; multi-modality sides concatenate
+# features along the token axis)
+_GROUP_SIDES = {
+    "tv": ("t", "v"),
+    "ta": ("t", "a"),
+    "tva": ("t", "va"),
+    "va": ("v", "a"),
+    "vta": ("v", "ta"),
+    "atv": ("a", "tv"),
+}
+
+
 def retrieval_scores(
     model,
     params,
@@ -36,7 +49,12 @@ def retrieval_scores(
     group: str,
     contra_type: str,
 ) -> np.ndarray:
-    """Full-gallery score matrix for one modality group (device, chunked)."""
+    """Full-gallery score matrix for one modality group (device, chunked).
+
+    Fine mode supports every group the task grammar accepts, incl. the
+    audio<->video directions (reference test.py:341-377: va / vta / atv);
+    coarse mode supports tv/ta/tva (the only groups the reference's coarse
+    branch implements, test.py:379-401)."""
 
     def fw(name, x):
         return model.apply(
@@ -51,26 +69,64 @@ def retrieval_scores(
         if group == "ta":
             return np.asarray(L.coarse_score(ft, fa))
         if group == "tva":
-            return np.asarray(L.coarse_score(ft, fv) + L.coarse_score(ft, fa))
-        raise ValueError(group)
-    mask_t = jnp.asarray((np.asarray(txt) != 0).astype(np.float32))
-    ones = lambda f: jnp.ones(f.shape[:2], jnp.float32)
-    wt = fw("text_fine_weight", ft)
-    if group == "tv":
-        wv = fw("video_fine_weight", fv)
-        return np.asarray(L.fine_score_chunked(ft, fv, mask_t, ones(fv), wt, wv))
-    if group == "ta":
-        wa = fw("audio_fine_weight", fa)
-        return np.asarray(L.fine_score_chunked(ft, fa, mask_t, ones(fa), wt, wa))
-    if group == "tva":
-        fva = jnp.concatenate([fv, fa], axis=1)
-        wv = fw("video_fine_weight", fv)
-        wa = fw("audio_fine_weight", fa)
-        wva = jnp.concatenate([wv, wa], axis=1)
-        return np.asarray(
-            L.fine_score_chunked(ft, fva, mask_t, ones(fva), wt, wva)
+            if model.cfg.late_fusion:
+                return np.asarray(L.coarse_score(ft, fv) + L.coarse_score(ft, fa))
+            # early fusion: learned va_fusion over concatenated features
+            # (reference test.py:391-394)
+            fva = L.l2_normalize(
+                model.apply(
+                    {"params": params},
+                    jnp.concatenate([fv, fa], axis=-1),
+                    method=lambda m, x: m.va_fusion(x),
+                )
+            )
+            return np.asarray(L.coarse_score(ft, fva))
+        raise ValueError(
+            f"coarse retrieval does not support group {group!r} "
+            "(reference test.py coarse branch: tv/ta/tva only)"
         )
-    raise ValueError(group)
+
+    def part(name: str):
+        if name == "t":
+            mask_t = jnp.asarray((np.asarray(txt) != 0).astype(np.float32))
+            return ft, mask_t, fw("text_fine_weight", ft)
+        if name == "v":
+            return fv, jnp.ones(fv.shape[:2], jnp.float32), fw("video_fine_weight", fv)
+        return fa, jnp.ones(fa.shape[:2], jnp.float32), fw("audio_fine_weight", fa)
+
+    def side(names: str):
+        ps = [part(n) for n in names]
+        if len(ps) == 1:
+            return ps[0]
+        return tuple(jnp.concatenate([p[i] for p in ps], axis=1) for i in range(3))
+
+    if group not in _GROUP_SIDES:
+        raise ValueError(group)
+    if group == "tva" and model.cfg.late_fusion:
+        # reference test.py:300-309: late fusion sums per-modality fine
+        # scores with unit weights
+        t, v, a = part("t"), part("v"), part("a")
+        ones = lambda p: jnp.ones_like(p[2])
+        return np.asarray(
+            L.fine_score_chunked(t[0], v[0], t[1], v[1], ones(t), ones(v))
+            + L.fine_score_chunked(t[0], a[0], t[1], a[1], ones(t), ones(a))
+        )
+    qn, gn = _GROUP_SIDES[group]
+    if len(gn) > 1 and "t" in gn:
+        # a concatenated text+media gallery (vta/atv) requires 1:1
+        # text<->item alignment (the reference's torch.cat has the same
+        # constraint, test.py:355/364)
+        sizes = {n: part(n)[0].shape[0] for n in gn}
+        if len(set(sizes.values())) > 1:
+            raise ValueError(
+                f"group {group!r} needs aligned per-item features, got rows {sizes}"
+            )
+    q, g = side(qn), side(gn)
+    if group == "tva" and model.cfg.fineweight_type == "none":
+        # reference test.py:315-318: unit weights on both sides
+        q = (q[0], q[1], jnp.ones_like(q[2]))
+        g = (g[0], g[1], jnp.ones_like(g[2]))
+    return np.asarray(L.fine_score_chunked(q[0], g[0], q[1], g[1], q[2], g[2]))
 
 
 def validate_ret(
@@ -101,8 +157,13 @@ def validate_ret(
     report: Dict[str, float] = {}
     for g in task.contra_groups:
         score = retrieval_scores(model, params, feats, g, contra_type)
+        # text-query groups rank the item gallery per caption row; the
+        # audio/video-query groups (va/vta/atv) are item->item, so rows
+        # carry item ids (reference test.py:341-377 — its ids_txt == ids
+        # on the 1:1 AV-retrieval sets these groups support)
+        row_ids = (ids_txt or ids) if g[0] == "t" else ids
         r = retrieval_report(
-            score, ids, ids_txt or ids, dual_softmax, temp, evaluate_ret_text
+            score, ids, row_ids, dual_softmax, temp, evaluate_ret_text
         )
         report.update({f"{g}_{k}": v for k, v in r.items()})
     if task.contra_groups:
