@@ -83,6 +83,12 @@ class ModelConfig:
     # text
     max_txt_len: int = 30
 
+    # CLIP tower depth overrides (None = the preset's depth).  Smaller
+    # depths support scaled-down ablations and the full-model golden
+    # parity fixture (a 2-layer B/16-shaped tower is still width-768).
+    clip_vision_layers: Optional[int] = None
+    clip_text_layers: Optional[int] = None
+
     # architecture size overrides (base BERT/AST dims by default; smaller
     # values support unit tests and scaled-down ablations)
     fusion_hidden: int = 768

@@ -5,10 +5,11 @@ Reference behaviour being reproduced (model/pretrain.py):
     'unfinished' latch that pins finished rows to EOS; returns per-step
     logprobs for SCST.
   * decode_beam (:1054-1152): beam search with per-beam score carrying;
-    finished beams keep their score.  Divergence (documented): once a beam
-    is finished we only allow an EOS continuation instead of duplicating
-    the finished beam across the whole vocab (the reference's commented-out
-    dedup line, pretrain.py:1092).
+    a finished beam keeps its score for every candidate word (the
+    reference duplicates it across the vocab — its dedup line is
+    commented out, pretrain.py:1092) — reproduced exactly, tie-breaks
+    included, so beam outputs match the reference token-for-token
+    (tests/test_golden_fullmodel.py).
   * get_logits (:1031-1051): unimlm queries are [BOS, state..., MASK] and
     the MASK position is scored; lm queries are [BOS, state...] scoring the
     last position.
@@ -136,9 +137,13 @@ def beam_search(
             axis=-1,
         ).reshape(batch_size, k_beam, -1)
         vocab = step_logp.shape[-1]
-        # finished beams may only extend with EOS at unchanged score
-        eos_only = jnp.full((vocab,), NEG).at[EOS_TOKEN].set(0.0)
-        step_logp = jnp.where(alive[:, :, None], step_logp, eos_only[None, None])
+        # finished beams keep their score for EVERY candidate word — the
+        # reference duplicates the finished beam across the whole vocab
+        # (pretrain.py:1092-1100: candidate = mask*cand + old*(1-mask));
+        # top_k's lowest-index tie-break then matches torch.sort's stable
+        # descending order, so beam outputs agree exactly (incl. which
+        # live candidates get displaced).
+        step_logp = jnp.where(alive[:, :, None], step_logp, 0.0)
         cand = score[:, :, None] + step_logp  # [B, K, V]
         top_score, top_idx = jax.lax.top_k(cand.reshape(batch_size, -1), k_beam)
         sel_beam = top_idx // vocab  # [B, K]
@@ -153,9 +158,11 @@ def beam_search(
     best = jnp.argmax(score, axis=1)
     out = jnp.take_along_axis(buffer, best[:, None, None], axis=1)[:, 0]
     seqs = out[:, 1 : max_len + 1]
-    # pad everything after the first EOS with EOS (finished rows wrote EOS
-    # already; this normalises rows that never finished)
-    return seqs
+    # normalise: finished beams accumulate arbitrary tie-break words after
+    # their EOS (reference behaviour too — consumers stop at first EOS);
+    # pin them to EOS so raw sequences are clean
+    hit = jnp.cumsum(seqs == EOS_TOKEN, axis=1) > 0
+    return jnp.where(hit, EOS_TOKEN, seqs)
 
 
 def expand_rows(x: Optional[jnp.ndarray], k: int) -> Optional[jnp.ndarray]:

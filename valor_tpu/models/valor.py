@@ -117,18 +117,24 @@ class VALORModel(nn.Module):
 
         # ---- video encoder
         if self.is_clip_video or self.is_clip_text:
+            import dataclasses as _dc
+
             clip_name = c.video_encoder_type if self.is_clip_video else c.txt_encoder_type
+            vp = vision_preset(clip_name, c.video_resolution)
+            tp = text_preset(clip_name)
+            if c.clip_vision_layers:  # depth override (config.py rationale)
+                vp = _dc.replace(vp, layers=c.clip_vision_layers)
+            if c.clip_text_layers:
+                tp = _dc.replace(tp, layers=c.clip_text_layers)
             self.clip_vision = CLIPVisionTransformer(
-                vision_preset(clip_name, c.video_resolution),
+                vp,
                 dtype=dtype,
                 remat=_remat("vision"),
                 name="clip_vision",
             )
             self.clip_text = CLIPTextTransformer(
-                text_preset(clip_name), dtype=dtype, remat=_remat("text"), name="clip_text"
+                tp, dtype=dtype, remat=_remat("text"), name="clip_text"
             )
-            tp = text_preset(clip_name)
-            vp = vision_preset(clip_name, c.video_resolution)
             self.clip_proj = CLIPProjections(
                 vision_width=vp.width, text_width=tp.width, embed_dim=tp.embed_dim,
                 name="clip_proj",
