@@ -230,6 +230,173 @@ def make_fusion_decoder(
     return decoder
 
 
+class Generator:
+    """Compile-once generation programs, reused across eval batches.
+
+    The round-2 ``generate`` built fresh decoder closures per batch, so
+    the `lax.fori_loop` decode re-traced on EVERY validate_cap/validate_qa
+    batch (minutes per retrace on the tunneled TPU runtime).  Here every
+    device computation is a cached ``jax.jit`` program taking params /
+    media / prompt as ARGUMENTS — the second batch of the same shape
+    triggers zero retrace (asserted in tests/test_generate.py), and the
+    cache survives across validation rounds because ``generate()`` memoises
+    one Generator per model object.
+    """
+
+    def __init__(self, model):
+        self.model = model
+        self._programs: Dict[Any, Any] = {}
+
+    # -- program cache -----------------------------------------------------
+    def _program(self, key, build):
+        fn = self._programs.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            self._programs[key] = fn
+        return fn
+
+    def stats(self) -> Dict[Any, int]:
+        """(program key) -> number of compiled shape-specialisations."""
+        return {k: f._cache_size() for k, f in self._programs.items()}
+
+    # -- encode programs ---------------------------------------------------
+    def _encode_video(self, params, pixels):
+        m = self.model
+
+        def build():
+            def f(p, px):
+                out = m.apply({"params": p}, px, method=m.encode_video)
+                return m.apply({"params": p}, out, method=m.video_fusion_input)
+
+            return f
+
+        return self._program("encode_video", build)(params, pixels)
+
+    def _encode_audio(self, params, spectrograms):
+        m = self.model
+
+        def build():
+            def f(p, spec):
+                out = m.apply({"params": p}, spec, method=m.encode_audio)
+                return m.apply({"params": p}, out, method=m.audio_fusion_input)
+
+            return f
+
+        return self._program("encode_audio", build)(params, spectrograms)
+
+    def _encode_audio_spans(self, params, wavs, valid):
+        """device_fbank batches: mel extraction fuses into the encode jit
+        (exactly as VALORModel.__call__ does on the train path)."""
+        m = self.model
+
+        def build():
+            from valor_tpu.data.fbank import fbank_clips_from_spans
+
+            def f(p, w, v):
+                spec = fbank_clips_from_spans(
+                    w, v,
+                    melbins=m.cfg.audio_melbins,
+                    target_length=m.cfg.audio_target_length,
+                ).astype(jnp.dtype(m.cfg.dtype))
+                out = m.apply({"params": p}, spec, method=m.encode_audio)
+                return m.apply({"params": p}, out, method=m.audio_fusion_input)
+
+            return f
+
+        return self._program("encode_audio_spans", build)(params, wavs, valid)
+
+    # -- decode program ----------------------------------------------------
+    def _decode(self, caption_type: str, max_len: int, beam_size: int, mode: str):
+        m = self.model
+
+        def build():
+            def f(p, prompt, v, a, rng):
+                bsz = next(
+                    x.shape[0] for x in (v, a, prompt) if x is not None
+                )
+                prompt_b = (
+                    jnp.broadcast_to(prompt, (bsz,) + prompt.shape[1:])
+                    if prompt is not None and prompt.shape[0] == 1
+                    else prompt
+                )
+                if beam_size > 1:
+                    dec = make_fusion_decoder(
+                        m, p,
+                        expand_rows(prompt_b, beam_size),
+                        expand_rows(v, beam_size),
+                        expand_rows(a, beam_size),
+                    )
+                    seqs = beam_search(dec, bsz, beam_size, max_len, caption_type)
+                    logps = jnp.zeros((bsz, max_len), jnp.float32)
+                else:
+                    dec = make_fusion_decoder(m, p, prompt_b, v, a)
+                    seqs, logps = greedy_or_sample(
+                        dec, bsz, max_len, caption_type, mode, rng
+                    )
+                return seqs, logps
+
+            return f
+
+        return self._program(("decode", caption_type, max_len, beam_size, mode), build)
+
+    # -- public ------------------------------------------------------------
+    def generate(
+        self,
+        params,
+        batch: Dict[str, Any],
+        groups: Tuple[str, ...],
+        *,
+        caption_type: str = "unimlm",
+        max_len: int = 30,
+        beam_size: int = 1,
+        mode: str = "greedy",
+        rng: Optional[jnp.ndarray] = None,
+        prompt_key: str = "prompt_tokens_caption",
+    ) -> Dict[str, Any]:
+        video_input = None
+        audio_input = None
+        if any("v" in g for g in groups) and batch.get("video_pixels") is not None:
+            video_input = self._encode_video(params, batch["video_pixels"])
+        if any("a" in g for g in groups):
+            if batch.get("audio_waveforms") is not None:
+                audio_input = self._encode_audio_spans(
+                    params, batch["audio_waveforms"], batch["audio_valid_frames"]
+                )
+            elif batch.get("audio_spectrograms") is not None:
+                audio_input = self._encode_audio(params, batch["audio_spectrograms"])
+        tile = batch.get("tile_index")
+        if tile is not None:
+            tile = jnp.asarray(tile)
+            video_input = video_input[tile] if video_input is not None else None
+            audio_input = audio_input[tile] if audio_input is not None else None
+
+        prompt = batch.get("question_prompt", batch.get(prompt_key))
+        if prompt is not None:
+            prompt = jnp.asarray(prompt)
+        program = self._decode(caption_type, max_len, beam_size, mode)
+        out: Dict[str, Any] = {}
+        for g in groups:
+            v = video_input if "v" in g else None
+            a = audio_input if "a" in g else None
+            seqs, logps = program(params, prompt, v, a, rng)
+            out[f"generated_sequences_{g}"] = seqs
+            out[f"logprobs_{g}"] = logps
+        return out
+
+
+# one Generator per live model object: eval rounds re-enter with the same
+# model, so compiled decode programs persist for the process lifetime
+_GENERATORS: Dict[int, Generator] = {}
+
+
+def get_generator(model) -> Generator:
+    g = _GENERATORS.get(id(model))
+    if g is None or g.model is not model:
+        g = Generator(model)
+        _GENERATORS[id(model)] = g
+    return g
+
+
 def generate(
     model,
     params,
@@ -245,69 +412,12 @@ def generate(
 ) -> Dict[str, Any]:
     """generate_cap/generate_qa equivalent (pretrain.py:914-985, 1366-1459).
 
-    Encodes media once, then decodes per modality group.  Returns
+    Encodes media once, then decodes per modality group through the cached
+    jit programs of :class:`Generator`.  Returns
     {'generated_sequences_<group>': [B, max_len], 'logprobs_<group>': ...}.
     """
-    if batch.get("audio_waveforms") is not None:
-        # device_fbank batches ship clip-span waveforms; materialise the
-        # spectrograms exactly as VALORModel.__call__ does so audio
-        # groups aren't silently dropped (tests/test_data.py
-        # test_generate_uses_waveforms)
-        from valor_tpu.data.fbank import fbank_clips_from_spans
-
-        batch = dict(batch)
-        batch["audio_spectrograms"] = fbank_clips_from_spans(
-            batch.pop("audio_waveforms"),
-            batch.pop("audio_valid_frames"),
-            melbins=model.cfg.audio_melbins,
-            target_length=model.cfg.audio_target_length,
-        ).astype(jnp.dtype(model.cfg.dtype))
-    video_input = None
-    audio_input = None
-    if any("v" in g for g in groups) and batch.get("video_pixels") is not None:
-        video_output = model.apply(
-            {"params": params}, batch["video_pixels"], method=model.encode_video
-        )
-        video_input = model.apply(
-            {"params": params}, video_output, method=model.video_fusion_input
-        )
-    if any("a" in g for g in groups) and batch.get("audio_spectrograms") is not None:
-        audio_output = model.apply(
-            {"params": params}, batch["audio_spectrograms"], method=model.encode_audio
-        )
-        audio_input = model.apply(
-            {"params": params}, audio_output, method=model.audio_fusion_input
-        )
-    tile = batch.get("tile_index")
-    if tile is not None:
-        video_input = video_input[tile] if video_input is not None else None
-        audio_input = audio_input[tile] if audio_input is not None else None
-
-    prompt = batch.get("question_prompt", batch.get(prompt_key))
-    if video_input is not None:
-        bsz = video_input.shape[0]
-    elif audio_input is not None:
-        bsz = audio_input.shape[0]
-    else:
-        bsz = prompt.shape[0]
-
-    out: Dict[str, Any] = {}
-    for g in groups:
-        v = video_input if "v" in g else None
-        a = audio_input if "a" in g else None
-        if beam_size > 1:
-            dec = make_fusion_decoder(
-                model,
-                params,
-                expand_rows(prompt, beam_size),
-                expand_rows(v, beam_size),
-                expand_rows(a, beam_size),
-            )
-            seqs = beam_search(dec, bsz, beam_size, max_len, caption_type)
-            logps = jnp.zeros((bsz, max_len), jnp.float32)
-        else:
-            dec = make_fusion_decoder(model, params, prompt, v, a)
-            seqs, logps = greedy_or_sample(dec, bsz, max_len, caption_type, mode, rng)
-        out[f"generated_sequences_{g}"] = seqs
-        out[f"logprobs_{g}"] = logps
-    return out
+    return get_generator(model).generate(
+        params, batch, groups,
+        caption_type=caption_type, max_len=max_len, beam_size=beam_size,
+        mode=mode, rng=rng, prompt_key=prompt_key,
+    )

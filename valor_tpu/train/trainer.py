@@ -237,11 +237,23 @@ class Trainer:
         assert self.scorer is not None, "SCST needs a Scorer over train annotations"
         c = self.cfg.model
         params = self.state.params
-        # encode media once into fusion space (forward_cap eval path)
-        enc = self.model.apply({"params": params}, batch, spec, False, False)
-        video_input, audio_input = enc.get("video_input"), enc.get("audio_input")
+        # encode media once into fusion space through the cached jit
+        # programs (round-2 rebuilt decoder closures every step -> a full
+        # decode retrace per SCST step)
+        generator = gen.get_generator(self.model)
+        video_input = audio_input = None
+        if spec.uses_video and batch.get("video_pixels") is not None:
+            video_input = generator._encode_video(params, batch["video_pixels"])
+        if spec.uses_audio:
+            if batch.get("audio_waveforms") is not None:
+                audio_input = generator._encode_audio_spans(
+                    params, batch["audio_waveforms"], batch["audio_valid_frames"]
+                )
+            elif batch.get("audio_spectrograms") is not None:
+                audio_input = generator._encode_audio(
+                    params, batch["audio_spectrograms"]
+                )
         prompt = batch.get("prompt_tokens_caption")
-        bsz = (video_input if video_input is not None else audio_input).shape[0]
         self.rng, sub = jax.random.split(self.rng)
         metrics: Dict[str, float] = {}
         if not hasattr(self, "_scst_steps"):
@@ -249,13 +261,12 @@ class Trainer:
         for g in spec.caption_groups:
             v = video_input if "v" in g else None
             a = audio_input if "a" in g else None
-            dec = gen.make_fusion_decoder(self.model, params, prompt, v, a)
-            seq_g, _ = gen.greedy_or_sample(
-                dec, bsz, c.max_generation_len, c.caption_type, "greedy"
-            )
-            seq_s, _ = gen.greedy_or_sample(
-                dec, bsz, c.max_generation_len, c.caption_type, "sample", sub
-            )
+            seq_g, _ = generator._decode(
+                c.caption_type, c.max_generation_len, 1, "greedy"
+            )(params, prompt, v, a, None)
+            seq_s, _ = generator._decode(
+                c.caption_type, c.max_generation_len, 1, "sample"
+            )(params, prompt, v, a, sub)
             seq_g, seq_s = np.asarray(seq_g), seq_s
             r_greedy = self.scorer(ids, [_strip(s) for s in seq_g])
             r_sample = self.scorer(ids, [_strip(s) for s in np.asarray(seq_s)])
