@@ -16,9 +16,25 @@ spice/spice.py).  This module provides:
     It is a documented approximation of METEOR-1.5 (no WordNet synonym or
     paraphrase stages, untuned weights) used when the jar is absent so
     caption reports always carry a METEOR column.
-  * :class:`SpiceJar` — the documented SPICE hook (``$VALOR_SPICE_JAR``);
+  * :class:`SpiceJar` — the SPICE protocol wrapper (``$VALOR_SPICE_JAR``);
     SPICE has no pure-Python approximation here (it needs a dependency
     parser), so without the jar the column is omitted.
+
+Leaderboard-grade reports need these external artifacts (the reference
+vendors the first; its snapshot does not even ship spice.py —
+cococaption/pycocoevalcap/eval_spice.py imports a missing module):
+
+  * ``meteor-1.5.jar`` (cmu.edu METEOR 1.5 release, or copy from the
+    reference's cococaption/pycocoevalcap/meteor/) ->
+    ``export VALOR_METEOR_JAR=/path/to/meteor-1.5.jar``; the ``data/``
+    directory with paraphrase tables must sit next to the jar.
+  * ``spice-1.0.jar`` + its ``lib/`` directory (panderson.me/spice,
+    the standard pycocoevalcap get_stanford_models.sh layout) ->
+    ``export VALOR_SPICE_JAR=/path/to/spice-1.0.jar``.
+  * a JRE (``java`` on PATH).
+
+Both protocols are tested WITHOUT Java via fake subprocess transports
+(tests/test_metrics.py), so wrapper regressions surface in CI.
 """
 
 from __future__ import annotations
@@ -317,14 +333,16 @@ class SpiceJar:
         with tempfile.TemporaryDirectory() as td:
             inp = os.path.join(td, "in.json")
             out = os.path.join(td, "out.json")
+            cache = os.path.join(td, "cache")
+            os.makedirs(cache, exist_ok=True)
             payload = [
                 {"image_id": k, "test": hyps[k], "refs": refs[k]} for k in sorted(hyps)
             ]
             with open(inp, "w") as f:
                 json.dump(payload, f)
             subprocess.check_call(
-                ["java", "-jar", "-Xmx8G", self.jar, inp, "-out", out,
-                 "-subset", "-silent"],
+                ["java", "-jar", "-Xmx8G", self.jar, inp, "-cache", cache,
+                 "-out", out, "-subset", "-silent"],
                 cwd=os.path.dirname(os.path.abspath(self.jar)),
             )
             with open(out) as f:
