@@ -1,0 +1,134 @@
+"""Worker process for tests/test_multihost.py: joins a 2-process CPU
+jax.distributed cluster and exercises every multi-host branch that is
+dead code under a single process (VERDICT round-2 item 4):
+
+  * shard_batch's make_array_from_process_local_data assembly + the
+    tile_index global-row offsetting (parallel/mesh.py),
+  * all_gather_objects / all_gather_lists / all_gather_ragged
+    (parallel/collectives.py — analogue of the reference's pickle
+    collectives, utils/distributed.py:99-157),
+  * a genuinely 2-host validate_ret over ragged shards whose merged
+    report is written for the parent to compare against single-host.
+
+Usage: python tests/multihost_worker.py <rank> <coordinator> <out_dir>
+
+(`_item_batch` is also imported by the parent test to build the
+single-host reference run; everything executable lives in main().)
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _item_batch(indices):
+    """Deterministic per-item eval batch (shared generator with the
+    parent's single-host reference run)."""
+    toks = []
+    pixels = []
+    for i in indices:
+        r = np.random.RandomState(1000 + i)
+        t = np.zeros(6, np.int32)
+        t[0], t[4] = 101, 102
+        t[1:4] = r.randint(106, 500, 3)
+        toks.append(t)
+        pixels.append(r.randn(1, 32, 32, 3).astype(np.float32))
+    return {
+        "ids": [f"item{i}" for i in indices],
+        "bert_tokens": np.stack(toks),
+        "video_pixels": np.stack(pixels),
+    }
+
+
+def check_shard_batch(jax, rank):
+    import jax.numpy as jnp
+
+    from valor_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    # each process holds ITS 2 media rows; tile maps 4 answer rows onto them
+    local_media = np.arange(2 * 3, dtype=np.float32).reshape(2, 3) + 100 * rank
+    local_tile = np.array([0, 0, 1, 1], np.int32)
+    batch = {
+        "video_pixels": local_media,
+        "tile_index": local_tile,
+        "sample_num": np.asarray(2),
+    }
+    dev = shard_batch(mesh, batch)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    total = jax.jit(lambda b: jnp.sum(b["video_pixels"]), out_shardings=rep)(dev)
+    expect = float(np.arange(6).sum() * 2 + 100 * 6)
+    assert abs(float(total) - expect) < 1e-5, (float(total), expect)
+    # tile offsets: rank p's local question rows land at p * Q_local
+    tile_global = np.asarray(jax.jit(lambda b: b["tile_index"], out_shardings=rep)(dev))
+    np.testing.assert_array_equal(tile_global, [0, 0, 1, 1, 2, 2, 3, 3])
+    # scalars replicate
+    assert int(np.asarray(jax.device_get(dev["sample_num"]))) == 2
+
+
+def check_object_collectives(rank):
+    from valor_tpu.parallel import collectives as C
+
+    out = C.all_gather_objects({"rank": rank, "payload": "x" * (10 + 40 * rank)})
+    assert [o["rank"] for o in out] == [0, 1]
+    assert len(out[1]["payload"]) == 50
+    merged = C.all_gather_lists([f"r{rank}_{i}" for i in range(2 + rank)])
+    assert merged == ["r0_0", "r0_1", "r1_0", "r1_1", "r1_2"]
+    ragged = C.all_gather_ragged(np.full((3 + rank, 2), rank, np.float32))
+    assert ragged.shape == (7, 2)
+    assert (ragged[:3] == 0).all() and (ragged[3:] == 1).all()
+
+
+def check_validate_ret(jax, rank, out_dir):
+    from tests.conftest import tiny_model_config
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.data.loader import ShardedBatchSampler
+    from valor_tpu.eval.validate import validate_ret
+    from valor_tpu.models.valor import VALORModel
+    from valor_tpu.train.step import make_eval_step
+
+    cfg = tiny_model_config(
+        fusion_vocab=512, txt_encoder_type="bert_base_uncased", init_clip_head=False
+    )
+    model = VALORModel(cfg)
+    spec = parse_task("ret%tv")
+    init_batch = _item_batch([0, 1])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        {k: v for k, v in init_batch.items() if k != "ids"},
+        spec, True, True,
+    )["params"]
+    # ragged shards over 7 items: rank0 -> 4 items, rank1 -> 3
+    sampler = ShardedBatchSampler(
+        n_items=7, batch_size=2, shard=rank, n_shards=2, shuffle=False
+    )
+    batches = [_item_batch(idx) for idx in sampler]
+    report = validate_ret(
+        model, params, make_eval_step(model), iter(batches), spec, cfg.contra_type
+    )
+    with open(os.path.join(out_dir, f"report_rank{rank}.json"), "w") as f:
+        json.dump(report, f, sort_keys=True)
+
+
+def main():
+    rank, coord, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    jax.distributed.initialize(coord, num_processes=2, process_id=rank)
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4
+    check_shard_batch(jax, rank)
+    check_object_collectives(rank)
+    check_validate_ret(jax, rank, out_dir)
+    print(f"rank {rank}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

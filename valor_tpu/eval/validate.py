@@ -129,6 +129,26 @@ def retrieval_scores(
     return np.asarray(L.fine_score_chunked(q[0], g[0], q[1], g[1], q[2], g[2]))
 
 
+def _gather_eval_features(
+    feats_all: Dict[str, List], ids: List, ids_txt: List
+) -> Tuple[Dict[str, Any], List, List]:
+    """Concatenate per-batch features, then merge across hosts.
+
+    The reference gathers eval features and ids to every rank before
+    scoring (test.py:267-290: all_gather_list + ddp_allgather); here the
+    per-host shards are ragged (ShardedBatchSampler covers all items), so
+    arrays ride all_gather_ragged and id lists all_gather_lists.
+    Single-host: both are no-ops.
+    """
+    from valor_tpu.parallel.collectives import all_gather_lists, all_gather_ragged
+
+    feats = {
+        k: jnp.asarray(all_gather_ragged(np.concatenate(v))) if v else None
+        for k, v in feats_all.items()
+    }
+    return feats, all_gather_lists(ids), all_gather_lists(ids_txt)
+
+
 def validate_ret(
     model, params, eval_step, loader, task: TaskSpec, contra_type: str,
     dual_softmax: bool = False, evaluate_ret_text: bool = False,
@@ -148,9 +168,7 @@ def validate_ret(
             ids.extend(host_meta_ids)
         if host_ids_txt is not None:
             ids_txt.extend(host_ids_txt)
-    feats = {
-        k: jnp.asarray(np.concatenate(v)) if v else None for k, v in feats_all.items()
-    }
+    feats, ids, ids_txt = _gather_eval_features(feats_all, ids, ids_txt)
     temp = float(
         model.apply({"params": params}, method=lambda m: m.temperature())
     )
@@ -353,10 +371,7 @@ def validate_pt(
     if mlm_tot:
         report["mlm_token_acc"] = round(100.0 * mlm_hit / mlm_tot, 2)
     if task.contra_groups and feats_all["feat_t"]:
-        feats = {
-            k: jnp.asarray(np.concatenate(v)) if v else None
-            for k, v in feats_all.items()
-        }
+        feats, ids, ids_txt = _gather_eval_features(feats_all, ids, ids_txt)
         g = task.contra_groups[0]
         score = retrieval_scores(model, params, feats, g, contra_type)
         r = retrieval_report(score, ids, ids_txt or ids)

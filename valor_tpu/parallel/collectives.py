@@ -60,3 +60,28 @@ def gather_arrays(x: np.ndarray) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def all_gather_ragged(x: np.ndarray) -> np.ndarray:
+    """Concatenate per-host arrays with DIFFERENT leading dims along axis 0
+    (ordered by process index).
+
+    The eval shards are ragged — ShardedBatchSampler covers every item, so
+    hosts may differ by one (data/loader.py) — which is exactly the case
+    the reference's padded ddp_allgather handles (utils/
+    distributed.py:77-97).  Pads to the max rows, gathers, trims.
+    """
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    n = np.asarray([x.shape[0]], np.int32)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    maxlen = int(sizes.max())
+    padded = np.zeros((maxlen,) + x.shape[1:], x.dtype)
+    padded[: x.shape[0]] = x
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[i, : sizes[i]] for i in range(jax.process_count())], axis=0
+    )
