@@ -216,12 +216,13 @@ def main_generate():
 
     gen_batch = {k: batch[k] for k in ("bert_tokens", "video_pixels", "audio_spectrograms")}
 
-    @jax.jit
     def run(params, b, salt):
-        # the tunneled runtime memoizes identical executions; the salt
-        # perturbs the input so every call really runs
+        # the PRODUCTION path: gen.generate's cached jit programs — the
+        # same code validate_cap/validate_qa drive (eval/generate.py
+        # Generator); no bespoke bench jit.  The salt perturbs the input
+        # because the tunneled runtime memoizes identical executions.
         b = dict(b)
-        b["video_pixels"] = b["video_pixels"] + salt.astype(b["video_pixels"].dtype) * 1e-6
+        b["video_pixels"] = b["video_pixels"] + jnp.asarray(salt, b["video_pixels"].dtype) * 1e-6
         out = gen.generate(
             model, params, b, ("tva",),
             caption_type=cfg.caption_type, max_len=max_len, beam_size=beam,
@@ -231,15 +232,19 @@ def main_generate():
     import sys
 
     t0 = time.perf_counter()
-    _ = np.asarray(run(params, gen_batch, jnp.asarray(0.0)))  # host readback
+    _ = np.asarray(run(params, gen_batch, 0.0))  # host readback
     print(f"gen compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    g = gen.get_generator(model)
+    assert all(n == 1 for n in g.stats().values()), g.stats()
     times = []
     for i in range(6):
         t0 = time.perf_counter()
         # np.asarray = ground-truth sync: block_until_ready does not block
         # on this runtime's remote arrays (measured 1 ms "steps")
-        _ = np.asarray(run(params, gen_batch, jnp.asarray(float(i + 1))))
+        _ = np.asarray(run(params, gen_batch, float(i + 1)))
         times.append(time.perf_counter() - t0)
+    # zero retrace across batches: the compiled-program cache is unchanged
+    assert all(n == 1 for n in g.stats().values()), g.stats()
     cps = batch_size / min(times)
     print(
         json.dumps(
@@ -309,6 +314,9 @@ def main():
 
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     mu_dtype = "float32" if os.environ.get("BENCH_MU_BF16") == "0" else "bfloat16"
+    # bf16 grads through clip+adam (TrainConfig.grad_dtype); BENCH_GRAD_BF16=0
+    # restores the fp32 round-2 numerics
+    grad_dtype = "float32" if os.environ.get("BENCH_GRAD_BF16") == "0" else "bfloat16"
     tcfg = TrainConfig(num_train_steps=10000, adam_mu_dtype=mu_dtype)
     tx = build_optimizer(params, tcfg)
     state = TrainState.create(params, tx)
@@ -317,7 +325,7 @@ def main():
     del params
     gc.collect()
     if inner > 1:
-        loop = make_train_loop(model, tx, inner, donate=True)
+        loop = make_train_loop(model, tx, inner, donate=True, grad_dtype=grad_dtype)
         stacked = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (inner,) + x.shape), batch
         )
@@ -326,7 +334,9 @@ def main():
             return loop(state, stacked, key, task)
 
     else:
-        train_step = make_train_step(model, tx, donate=True, with_grad_norm=False)
+        train_step = make_train_step(
+            model, tx, donate=True, with_grad_norm=False, grad_dtype=grad_dtype
+        )
 
         def run_one(state, key):
             return train_step(state, batch, key, task)

@@ -182,6 +182,12 @@ class TrainConfig:
     new_params_name: List[str] = field(default_factory=list)
     optim: str = "adamw"
     adam_mu_dtype: str = "float32"  # 'bfloat16' halves first-moment memory
+    # dtype the parameter gradients are cast to between backward and the
+    # optimizer chain.  'bfloat16' halves the grad HBM traffic through
+    # clip + adam on the bandwidth-bound step (the standard bf16-training
+    # regime: moments/params still accumulate in their own dtypes); keep
+    # 'float32' for exact round-2 numerics.
+    grad_dtype: str = "float32"
     # jax PRNG implementation for the whole run.  'rbg' (hardware
     # RngBitGenerator) measured +3% step throughput over 'threefry' at
     # flagship shapes — dropout-mask generation is ALU-bound with

@@ -42,13 +42,20 @@ def masked_cross_entropy(
     vocab = logits.shape[-1]
     valid = (labels != -1).astype(jnp.float32)
     safe_labels = jnp.maximum(labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # HBM-lean CE: nll = logsumexp - target_logit.  The [.., V] logits
+    # tensor (125 MB per caption group at flagship shapes) is read ONCE in
+    # its native (bf16) dtype with fp32 reduction — no fp32 log_softmax
+    # materialisation (round-2's astype+log_softmax risked an fp32 copy of
+    # the step's largest tensor; VERDICT round-2 item 7).
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = lse - tgt.astype(jnp.float32)
     if label_smoothing > 0.0:
-        # KLDiv against (1-eps) one-hot + eps/(V-1) off-target, per reference
+        # KLDiv against (1-eps) one-hot + eps/(V-1) off-target, per
+        # reference; sum(logp) = sum(logits) - V * lse (no logp tensor)
         smooth = label_smoothing / (vocab - 1)
         confidence = 1.0 - label_smoothing
-        mean_logp = jnp.sum(logp, axis=-1)
+        mean_logp = jnp.sum(logits.astype(jnp.float32), axis=-1) - vocab * lse
         nll = confidence * nll - smooth * (mean_logp + nll)
         # note: constant entropy terms of the KL omitted (zero gradient)
     denom = jnp.maximum(jnp.sum(valid), 1.0)
@@ -69,8 +76,10 @@ def qa_weighted_cross_entropy(
     """
     valid = (labels != -1).astype(jnp.float32)
     safe = jnp.maximum(labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # same HBM-lean CE as masked_cross_entropy (one native-dtype read)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = lse - tgt.astype(jnp.float32)
     per_row = jnp.sum(nll * valid, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
     if answer_weights is not None:
         denom = float(n_questions) if n_questions else per_row.shape[0]

@@ -38,7 +38,19 @@ class TrainState(struct.PyTreeNode):
         return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
-def make_train_step(model, tx, donate: bool = True, with_grad_norm: bool = True):
+def _cast_grads(grads, grad_dtype: Optional[str]):
+    """Optional bf16 grad regime (TrainConfig.grad_dtype): halves grad HBM
+    traffic through clip+adam on the bandwidth-bound step."""
+    if not grad_dtype or grad_dtype == "float32":
+        return grads
+    dt = jnp.dtype(grad_dtype)
+    return jax.tree_util.tree_map(lambda g: g.astype(dt), grads)
+
+
+def make_train_step(
+    model, tx, donate: bool = True, with_grad_norm: bool = True,
+    grad_dtype: Optional[str] = None,
+):
     """Returns train_step(state, batch, rng, task) -> (state, metrics).
 
     `task` is static (hashable TaskSpec); one executable per task+shape.
@@ -61,6 +73,7 @@ def make_train_step(model, tx, donate: bool = True, with_grad_norm: bool = True)
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = _cast_grads(grads, grad_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -77,7 +90,9 @@ def make_train_step(model, tx, donate: bool = True, with_grad_norm: bool = True)
     return train_step
 
 
-def make_train_loop(model, tx, n_inner: int, donate: bool = True):
+def make_train_loop(
+    model, tx, n_inner: int, donate: bool = True, grad_dtype: Optional[str] = None
+):
     """K train steps per jit call via lax.scan over a stacked batch.
 
     The optimizer state and params stay device-resident INSIDE one XLA
@@ -101,6 +116,7 @@ def make_train_loop(model, tx, n_inner: int, donate: bool = True):
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = _cast_grads(grads, grad_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)

@@ -66,14 +66,18 @@ class Trainer:
             self.meta_loader = DevicePrefetcher(iter(meta_loader), put)
         self.validate_fn = validate_fn
         self.saver = saver
-        self.train_step = make_train_step(model, tx)
+        self.train_step = make_train_step(
+            model, tx, grad_dtype=cfg.train.grad_dtype
+        )
         # fused multi-step path: groups consecutive same-task batches into
         # one lax.scan'd jit call (train/step.py make_train_loop)
         self.inner_steps = max(cfg.train.train_inner_steps, 1)
         if self.inner_steps > 1:
             from valor_tpu.train.step import make_train_loop
 
-            self.train_loop = make_train_loop(model, tx, self.inner_steps)
+            self.train_loop = make_train_loop(
+                model, tx, self.inner_steps, grad_dtype=cfg.train.grad_dtype
+            )
         self.meters: Dict[str, RunningMeter] = {}
         self.best: Dict[str, float] = {}
         self.rng = jax.random.PRNGKey(cfg.train.seed)
