@@ -317,7 +317,13 @@ def main():
     # bf16 grads through clip+adam (TrainConfig.grad_dtype); BENCH_GRAD_BF16=0
     # restores the fp32 round-2 numerics
     grad_dtype = "float32" if os.environ.get("BENCH_GRAD_BF16") == "0" else "bfloat16"
-    tcfg = TrainConfig(num_train_steps=10000, adam_mu_dtype=mu_dtype)
+    # bf16 second moment (custom adam): +5.9% measured — the optimizer
+    # state read+write is real traffic on the bandwidth-bound step;
+    # BENCH_NU_BF16=0 restores fp32 nu
+    nu_dtype = "float32" if os.environ.get("BENCH_NU_BF16") == "0" else "bfloat16"
+    tcfg = TrainConfig(
+        num_train_steps=10000, adam_mu_dtype=mu_dtype, adam_nu_dtype=nu_dtype
+    )
     tx = build_optimizer(params, tcfg)
     state = TrainState.create(params, tx)
     # memory discipline matters on one 16GB chip: drop the extra params
@@ -346,6 +352,41 @@ def main():
 
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
+
+    if os.environ.get("BENCH_ANALYZE"):
+        # Compile-only analysis: XLA's own cost model (total HBM bytes
+        # accessed, flops) + executable memory footprint.  Used to rank
+        # traffic levers and to check a remat variant FITS before running
+        # it (an OOM poisons the shared chip's HBM — see memory notes).
+        if inner > 1:
+            lowered = loop.lower(state, stacked, rng, task)
+        else:
+            lowered = train_step.lower(state, batch, rng, task)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        ma = compiled.memory_analysis()
+        out = {
+            "mode": "analyze",
+            "bytes_accessed_GB": round(ca.get("bytes accessed", 0.0) / 1e9, 2),
+            "flops_G": round(ca.get("flops", 0.0) / 1e9, 1),
+            "per_inner_step_bytes_GB": round(
+                ca.get("bytes accessed", 0.0) / 1e9 / max(inner, 1), 2
+            ),
+            "temp_GB": round(getattr(ma, "temp_size_in_bytes", 0) / 2**30, 3),
+            "arg_GB": round(getattr(ma, "argument_size_in_bytes", 0) / 2**30, 3),
+            "out_GB": round(getattr(ma, "output_size_in_bytes", 0) / 2**30, 3),
+            "alias_GB": round(getattr(ma, "alias_size_in_bytes", 0) / 2**30, 3),
+        }
+        extra = {
+            k: round(float(v), 3)
+            for k, v in sorted(ca.items())
+            if "bytes accessed" in k and k != "bytes accessed" and float(v) > 1e8
+        }
+        out["bytes_accessed_breakdown_raw"] = extra
+        print(json.dumps(out))
+        return
 
     # warmup: compile + first donated-buffer step (the runtime's first
     # donation round-trip is ~100x slower than steady state)

@@ -114,3 +114,65 @@ class TestShardedStep:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestAdamNuDtype:
+    """scale_by_adam_dtyped (bf16 second moment, optimizer.py): fp32/fp32
+    must match optax.scale_by_adam exactly; bf16 nu must track closely."""
+
+    def _run(self, tx, grads_seq, params):
+        import optax as _optax
+
+        state = tx.init(params)
+        outs = []
+        for g in grads_seq:
+            u, state = tx.update(g, state, params)
+            outs.append(u)
+        return outs
+
+    def test_fp32_matches_optax(self):
+        import optax as _optax
+
+        from valor_tpu.train.optimizer import scale_by_adam_dtyped
+
+        rng = np.random.RandomState(0)
+        params = {"w": jnp.asarray(rng.randn(16, 8), jnp.float32)}
+        grads_seq = [
+            {"w": jnp.asarray(rng.randn(16, 8) * 0.1, jnp.float32)} for _ in range(5)
+        ]
+        ours = self._run(
+            scale_by_adam_dtyped(0.9, 0.98, 1e-6, jnp.float32, jnp.float32),
+            grads_seq, params,
+        )
+        ref = self._run(
+            _optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-6), grads_seq, params
+        )
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(
+                np.asarray(a["w"]), np.asarray(b["w"]), rtol=1e-6, atol=1e-7
+            )
+
+    def test_bf16_nu_tracks_fp32(self):
+        import optax as _optax
+
+        from valor_tpu.train.optimizer import scale_by_adam_dtyped
+
+        rng = np.random.RandomState(1)
+        params = {"w": jnp.asarray(rng.randn(32, 8), jnp.float32)}
+        grads_seq = [
+            {"w": jnp.asarray(rng.randn(32, 8) * 1e-3, jnp.float32)}
+            for _ in range(50)
+        ]
+        half = self._run(
+            scale_by_adam_dtyped(0.9, 0.98, 1e-6, jnp.bfloat16, jnp.bfloat16),
+            grads_seq, params,
+        )
+        full = self._run(
+            _optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-6), grads_seq, params
+        )
+        # adam updates are ~unit scale; the half-precision moments may
+        # deviate by ~1% relative, never in direction on average
+        a = np.asarray(half[-1]["w"], np.float32)
+        b = np.asarray(full[-1]["w"], np.float32)
+        assert np.abs(a - b).max() < 0.05
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999

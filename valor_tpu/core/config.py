@@ -182,6 +182,10 @@ class TrainConfig:
     new_params_name: List[str] = field(default_factory=list)
     optim: str = "adamw"
     adam_mu_dtype: str = "float32"  # 'bfloat16' halves first-moment memory
+    # second-moment dtype; 'bfloat16' halves nu's read+write traffic on
+    # the bandwidth-bound update (custom adam, optimizer.py
+    # scale_by_adam_dtyped; optax only exposes mu_dtype)
+    adam_nu_dtype: str = "float32"
     # dtype the parameter gradients are cast to between backward and the
     # optimizer chain.  'bfloat16' halves the grad HBM traffic through
     # clip + adam on the bandwidth-bound step (the standard bf16-training
