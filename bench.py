@@ -385,6 +385,13 @@ def main():
             if "bytes accessed" in k and k != "bytes accessed" and float(v) > 1e8
         }
         out["bytes_accessed_breakdown_raw"] = extra
+        if os.environ.get("BENCH_HLO_OUT"):
+            # optimized HLO dump for the per-op HBM ranking in
+            # tools/rank_hbm.py (post-fusion: each fusion's operands +
+            # outputs ARE the HBM traffic)
+            with open(os.environ["BENCH_HLO_OUT"], "w") as f:
+                f.write(compiled.as_text())
+            out["hlo_out"] = os.environ["BENCH_HLO_OUT"]
         print(json.dumps(out))
         return
 

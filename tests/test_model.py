@@ -159,3 +159,4 @@ class TestVideoSwin:
         out, _ = init_and_apply(cfg, batch, "pt_contra%tv_caption%tv")
         assert np.isfinite(float(out["contra_loss"]))
         assert np.isfinite(float(out["caption_loss"]))
+

@@ -287,6 +287,12 @@ class MultiHeadAttention(nn.Module):
         extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         return_kv: bool = False,
     ):
+        # NB a fused [C,3C] QKV projection for self-attention (bit-identical
+        # numerics, param tree untouched) was measured SLOWER on v5e:
+        # 105.6 vs 107.7 samples/s flagship — XLA's async VMEM prefetch
+        # pipelines the three separate dots better than one runtime-
+        # concatenated kernel it cannot prefetch.  Deleted per the
+        # win-or-delete rule; see PERF_NOTES.md round-3 campaign.
         qh = split_heads(self.query(q_in), self.num_heads)
         if kv_in is not None:
             kh = split_heads(self.key(kv_in), self.num_heads)

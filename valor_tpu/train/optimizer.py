@@ -92,9 +92,21 @@ def global_norm_flat(tree) -> jnp.ndarray:
     (scalar kernels each paid a host round-trip); a single concatenate +
     vdot compiles to one reduction kernel.
     """
-    flat = jnp.concatenate(
-        [x.ravel().astype(jnp.float32) for x in jax.tree_util.tree_leaves(tree)]
-    )
+    leaves = jax.tree_util.tree_leaves(tree)
+    dtypes = {x.dtype for x in leaves}
+    if len(dtypes) == 1 and next(iter(dtypes)) == jnp.bfloat16:
+        # bf16 grad regime (TrainConfig.grad_dtype): concatenate in the
+        # native dtype — half the flat-vector write+read traffic — and
+        # accumulate the squares in fp32 inside the dot (bf16 inputs are
+        # exact under the fp32-accumulating product, so the norm matches
+        # the fp32-concat path bit-for-bit on the same grads)
+        flat = jnp.concatenate([x.ravel() for x in leaves])
+        sq = jax.lax.dot_general(
+            flat, flat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sqrt(sq)
+    flat = jnp.concatenate([x.ravel().astype(jnp.float32) for x in leaves])
     return jnp.sqrt(jnp.vdot(flat, flat))
 
 
