@@ -35,7 +35,7 @@ from valor_tpu.ops.layers import (
     MlpBlock,
     MultiHeadAttention,
 )
-from valor_tpu.ops.masks import concat_key_mask, fusion_attention_bias
+from valor_tpu.ops.masks import concat_key_mask, fusion_attention_bias_terms
 
 
 @dataclasses.dataclass(frozen=True)
@@ -333,7 +333,7 @@ class BertFusionEncoder(nn.Module):
         x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
         batch = x.shape[0]
         key_mask = concat_key_mask(text_mask, prompt_mask, n_video, n_audio, batch)
-        bias = fusion_attention_bias(key_mask, text_len, causal, full_masker)
+        bias = fusion_attention_bias_terms(key_mask, text_len, causal, full_masker)
 
         cross_v = video_feat.astype(self.dtype) if (c.has_cross_attn and video_feat is not None) else None
         cross_a = audio_feat.astype(self.dtype) if (c.has_cross_attn and audio_feat is not None) else None

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from valor_tpu.ops.layers import Dense, LayerNorm, PreNormLayer, remat_wrap
-from valor_tpu.ops.masks import fusion_attention_bias, concat_key_mask
+from valor_tpu.ops.masks import fusion_attention_bias_terms, concat_key_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,7 +197,7 @@ class CLIPTextTransformer(nn.Module):
         x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
 
         key_mask = concat_key_mask(text_mask, prompt_mask, n_video, n_audio, b)
-        bias = fusion_attention_bias(key_mask, text_len=n if causal else 0, causal=causal)
+        bias = fusion_attention_bias_terms(key_mask, text_len=n if causal else 0, causal=causal)
 
         layer_cls = PreNormLayer
         if self.remat:

@@ -209,7 +209,13 @@ def dot_product_attention(
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(depth)
     if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        # `bias` may be a tuple of independently-broadcastable terms
+        # (e.g. [B,1,1,K] padding + [1,1,Q,K] structure from
+        # fusion_attention_bias_terms): adding each separately lets XLA
+        # fuse the tiny reads into the scores epilogue instead of
+        # streaming a materialised [B,1,Q,K] tensor every layer
+        for term in bias if isinstance(bias, (tuple, list)) else (bias,):
+            scores = scores + term.astype(jnp.float32)
     if _SCORES_DTYPE[0] is not None and dtype != jnp.float32:
         # store the [B,H,Q,K] logits in bf16 (the matmul epilogue casts,
         # the softmax kernel upcasts in-register): halves the largest
