@@ -112,6 +112,71 @@ def check_validate_ret(jax, rank, out_dir):
         json.dump(report, f, sort_keys=True)
 
 
+def check_gather_empty_shard(rank):
+    """A host with an EMPTY eval shard (n_items < process_count) must
+    still participate in every gather: before the global-metadata fix,
+    it skipped all_gather_ragged while the other host blocked inside —
+    a deadlock this check would turn into a rendezvous abort."""
+    from valor_tpu.eval.validate import _gather_eval_features
+
+    if rank == 0:
+        feats_all = {
+            "feat_t": [np.ones((1, 2, 4), np.float32)],
+            "feat_v": [np.full((1, 3, 4), 2.0, np.float32)],
+            "feat_a": [],
+            "txt_tokens": [np.ones((1, 2), np.int32)],
+        }
+        ids, ids_txt = ["item0"], ["item0"]
+    else:  # empty shard: zero batches ran
+        feats_all = {"feat_t": [], "feat_v": [], "feat_a": [], "txt_tokens": []}
+        ids, ids_txt = [], []
+    feats, g_ids, g_ids_txt = _gather_eval_features(feats_all, ids, ids_txt)
+    assert feats["feat_t"].shape == (1, 2, 4)
+    assert feats["feat_v"].shape == (1, 3, 4)
+    assert feats["feat_a"] is None
+    assert g_ids == ["item0"] and g_ids_txt == ["item0"]
+
+
+def check_validate_qa_cap_merge(rank):
+    """validate_qa / validate_cap must score the MERGED prediction set so
+    both hosts report the same dataset-level metric (pre-fix they scored
+    the local shard only, diverging best-checkpoint tracking)."""
+    import numpy as np
+
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.eval import validate as V
+
+    class StubTok:
+        def decode(self, toks):
+            return " ".join(str(t) for t in toks)
+
+    spec = parse_task("cap%tv")
+    # disjoint shards: rank0 has 2 rows (both correct), rank1 has 1 (wrong)
+    seqs = {0: np.array([[5, 102], [6, 102]]), 1: np.array([[7, 102]])}
+    answers = {0: ["5", "6"], 1: ["9"]}
+    orig = V.gen.generate
+    V.gen.generate = lambda *a, **k: {
+        "generated_sequences_tv": seqs[rank],
+        "logprobs_tv": None,
+    }
+    try:
+        batches = [{
+            "ids": [f"q{rank}_{i}" for i in range(len(seqs[rank]))],
+            "answers": answers[rank],
+        }]
+        rep = V.validate_qa(None, None, iter(batches), spec, StubTok())
+        assert rep["accuracy"] == round(100.0 * 2 / 3, 2), rep
+        cap_batches = [{"ids": [f"q{rank}_{i}" for i in range(len(seqs[rank]))]}]
+        anno = {f"q{r}_{i}": [a] for r in (0, 1) for i, a in enumerate(answers[r])}
+        cap = V.validate_cap(
+            None, None, iter(cap_batches), spec, StubTok(), anno
+        )
+        # merged over 3 rows on BOTH ranks: 2/3 unigram-exact hypotheses
+        assert 0.0 < cap["CIDEr"] and cap["Bleu_1"] > 0.5, cap
+    finally:
+        V.gen.generate = orig
+
+
 def main():
     rank, coord, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -126,6 +191,8 @@ def main():
     assert jax.device_count() == 4
     check_shard_batch(jax, rank)
     check_object_collectives(rank)
+    check_gather_empty_shard(rank)
+    check_validate_qa_cap_merge(rank)
     check_validate_ret(jax, rank, out_dir)
     print(f"rank {rank}: OK", flush=True)
 

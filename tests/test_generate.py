@@ -177,3 +177,27 @@ class TestGeneratorCaching:
         b = make_batch(jax.random.PRNGKey(0))
         model, params, spec = _setup(cfg, b)
         assert gen.get_generator(model) is gen.get_generator(model)
+
+
+class TestGeneratorCacheBound:
+    """get_generator keeps a bounded LRU, not an unbounded id->Generator
+    dict: a process that builds many models (pytest, sweeps) must not pin
+    every model + its compiled programs forever."""
+
+    def test_lru_evicts_and_reuses(self):
+        from valor_tpu.eval import generate as gen_mod
+
+        gen_mod._GENERATORS.clear()
+
+        class M:  # stand-in model object; Generator only stores it
+            pass
+
+        m1, m2, m3 = M(), M(), M()
+        g1 = gen_mod.get_generator(m1)
+        assert gen_mod.get_generator(m1) is g1  # cache hit
+        gen_mod.get_generator(m2)
+        gen_mod.get_generator(m3)
+        assert len(gen_mod._GENERATORS) <= gen_mod._GENERATORS_MAX
+        # m1 was evicted (least recently used); a fresh Generator is built
+        assert gen_mod.get_generator(m1) is not g1
+        gen_mod._GENERATORS.clear()

@@ -160,3 +160,32 @@ class TestVideoSwin:
         assert np.isfinite(float(out["contra_loss"]))
         assert np.isfinite(float(out["caption_loss"]))
 
+
+
+class TestRematScopeGuard:
+    """checkpointing=True must reject scopes that would silently disable
+    remat (typos, empty strings) — the failure otherwise surfaces only as
+    an HBM OOM at flagship shapes (valor.py _remat)."""
+
+    def _init(self, scope):
+        cfg = tiny_model_config(checkpointing=True, remat_scope=scope)
+        batch = make_batch(jax.random.PRNGKey(0))
+        init_and_apply(cfg, batch, "ret%tv")
+
+    def test_typo_rejected(self):
+        with pytest.raises(ValueError, match="unknown token"):
+            self._init("video")  # should be 'vision'
+
+    def test_empty_rejected(self):
+        with pytest.raises(ValueError, match="remat_scope"):
+            self._init("")
+
+    def test_whitespace_rejected(self):
+        with pytest.raises(ValueError, match="remat_scope"):
+            self._init(" , ")
+
+    def test_explicit_none_allowed(self):
+        self._init("none")  # intentional no-remat spelled out
+
+    def test_valid_scope_allowed(self):
+        self._init("vision,fusion")

@@ -176,3 +176,96 @@ class TestAdamNuDtype:
         b = np.asarray(full[-1]["w"], np.float32)
         assert np.abs(a - b).max() < 0.05
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+class TestClipFlatDtype:
+    """clip_by_global_norm_flat must not promote bf16 grads to f32 — the
+    grad_dtype regime's traffic saving depends on bf16 leaving the clip."""
+
+    def test_bf16_preserved(self):
+        from valor_tpu.train.optimizer import clip_by_global_norm_flat
+
+        tx = clip_by_global_norm_flat(1.0)
+        g = {"w": jnp.full((8, 4), 3.0, jnp.bfloat16)}
+        out, _ = tx.update(g, tx.init(None))
+        assert out["w"].dtype == jnp.bfloat16
+
+    def test_fp32_matches_optax(self):
+        import optax as _optax
+
+        from valor_tpu.train.optimizer import clip_by_global_norm_flat
+
+        rng = np.random.RandomState(7)
+        g = {
+            "a": jnp.asarray(rng.randn(16, 8), jnp.float32),
+            "b": jnp.asarray(rng.randn(5), jnp.float32),
+        }
+        ours, _ = clip_by_global_norm_flat(0.5).update(g, None)
+        tx = _optax.clip_by_global_norm(0.5)
+        ref, _ = tx.update(g, tx.init(g))
+        for k in g:
+            np.testing.assert_allclose(
+                np.asarray(ours[k]), np.asarray(ref[k]), rtol=1e-6
+            )
+
+
+class TestAdamMuDtypeOptaxParity:
+    """With mu_dtype=bf16 / nu=f32, scale_by_adam_dtyped must follow
+    optax.scale_by_adam(mu_dtype=bf16)'s SEMANTICS: the step's update is
+    computed from the full-precision EMA; the bf16 cast is storage-only.
+    Bitwise parity is not expected — optax's `decay * t` multiplies in
+    bf16 (weak-typed python scalar x bf16 array) before the f32 add,
+    while ours upcasts the stored moment first (strictly more precise) —
+    so the two quantised trajectories track within bf16 noise."""
+
+    def test_bf16_mu_tracks_optax(self):
+        import optax as _optax
+
+        from valor_tpu.train.optimizer import scale_by_adam_dtyped
+
+        rng = np.random.RandomState(3)
+        params = {"w": jnp.asarray(rng.randn(16, 8), jnp.float32)}
+        grads_seq = [
+            {"w": jnp.asarray(rng.randn(16, 8) * 0.1, jnp.float32)}
+            for _ in range(6)
+        ]
+        ours_tx = scale_by_adam_dtyped(0.9, 0.98, 1e-6, jnp.bfloat16, jnp.float32)
+        ref_tx = _optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-6, mu_dtype=jnp.bfloat16)
+        s_o, s_r = ours_tx.init(params), ref_tx.init(params)
+        for g in grads_seq:
+            u_o, s_o = ours_tx.update(g, s_o, params)
+            u_r, s_r = ref_tx.update(g, s_r, params)
+            # adam updates are ~unit scale; bf16-storage noise bounds the gap
+            np.testing.assert_allclose(
+                np.asarray(u_o["w"]), np.asarray(u_r["w"]), atol=1.2e-2, rtol=0
+            )
+        assert s_o.mu["w"].dtype == jnp.bfloat16
+        assert s_o.nu["w"].dtype == jnp.float32
+
+    def test_update_not_quantised_by_storage_cast(self):
+        """The update must differ from one computed off the ROUNDED EMAs:
+        with a grad stream whose mu sits between bf16 grid points, the
+        f32-EMA update is measurably different (regression guard for the
+        pre-fix behaviour that read the casted moments)."""
+        import optax as _optax
+
+        from valor_tpu.train.optimizer import scale_by_adam_dtyped
+
+        # fp32 EMA reference (no storage rounding at all)
+        rng = np.random.RandomState(11)
+        params = {"w": jnp.asarray(rng.randn(64), jnp.float32)}
+        grads_seq = [
+            {"w": jnp.asarray(rng.randn(64) * 0.1, jnp.float32)} for _ in range(4)
+        ]
+        ours_tx = scale_by_adam_dtyped(0.9, 0.98, 1e-6, jnp.bfloat16, jnp.float32)
+        full_tx = _optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-6)
+        s_o, s_f = ours_tx.init(params), full_tx.init(params)
+        for g in grads_seq:
+            u_o, s_o = ours_tx.update(g, s_o, params)
+            u_f, s_f = full_tx.update(g, s_f, params)
+        # step-4 update reads: f32(mu3_bf16 rounded) recurrence but the
+        # FINAL EMA value unrounded — the gap to the all-f32 trajectory
+        # must be bounded by the PRIOR steps' rounding only (<= ~0.4%),
+        # not by rounding the freshly-updated mu too (~double that)
+        a, b = np.asarray(u_o["w"]), np.asarray(u_f["w"])
+        assert float(np.max(np.abs(a - b))) < 6e-3

@@ -25,6 +25,7 @@ XLA keeps resident in HBM.
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -385,15 +386,26 @@ class Generator:
 
 
 # one Generator per live model object: eval rounds re-enter with the same
-# model, so compiled decode programs persist for the process lifetime
-_GENERATORS: Dict[int, Generator] = {}
+# model, so compiled decode programs persist across eval batches/rounds.
+# A tiny LRU (not an unbounded dict) caps the footprint: each entry pins
+# its model, the params captured in decoder closures, and every compiled
+# executable — a process that builds many models (pytest, config sweeps)
+# must not accumulate them forever, and on a shared 16 GB chip a leak
+# here poisons co-tenant jobs.
+_GENERATORS: "collections.OrderedDict[int, Generator]" = collections.OrderedDict()
+_GENERATORS_MAX = 2
 
 
 def get_generator(model) -> Generator:
-    g = _GENERATORS.get(id(model))
+    key = id(model)
+    g = _GENERATORS.get(key)
+    # `is not model` guards against CPython id() reuse after a gc
     if g is None or g.model is not model:
         g = Generator(model)
-        _GENERATORS[id(model)] = g
+        _GENERATORS[key] = g
+    _GENERATORS.move_to_end(key)
+    while len(_GENERATORS) > _GENERATORS_MAX:
+        _GENERATORS.popitem(last=False)
     return g
 
 

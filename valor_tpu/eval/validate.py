@@ -139,13 +139,41 @@ def _gather_eval_features(
     per-host shards are ragged (ShardedBatchSampler covers all items), so
     arrays ride all_gather_ragged and id lists all_gather_lists.
     Single-host: both are no-ops.
-    """
-    from valor_tpu.parallel.collectives import all_gather_lists, all_gather_ragged
 
-    feats = {
-        k: jnp.asarray(all_gather_ragged(np.concatenate(v))) if v else None
-        for k, v in feats_all.items()
-    }
+    Which keys are present is decided GLOBALLY (one object gather every
+    host always runs): a host whose shard is empty — n_items <
+    process_count — has every local list empty, and skipping its
+    all_gather_ragged calls while the other hosts enter theirs would
+    misalign the collective sequence and deadlock. Empty hosts
+    contribute zero-row arrays of the agreed shape instead.
+    """
+    from valor_tpu.parallel.collectives import (
+        all_gather_lists,
+        all_gather_objects,
+        all_gather_ragged,
+    )
+
+    local = {k: (np.concatenate(v) if v else None) for k, v in feats_all.items()}
+    metas = all_gather_objects(
+        {
+            k: [list(a.shape[1:]), str(a.dtype)]
+            for k, a in local.items()
+            if a is not None
+        }
+    )
+    global_meta: Dict[str, Any] = {}
+    for m in metas:
+        global_meta.update(m)
+    feats: Dict[str, Any] = {}
+    for k in feats_all:  # fixed key order on every host
+        if k not in global_meta:
+            feats[k] = None
+            continue
+        shape, dtype = global_meta[k]
+        a = local[k]
+        if a is None:
+            a = np.zeros((0, *shape), dtype)
+        feats[k] = jnp.asarray(all_gather_ragged(a))
     return feats, all_gather_lists(ids), all_gather_lists(ids_txt)
 
 
@@ -219,7 +247,17 @@ def validate_cap(
         seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
         for id_, seq in zip(ids, seqs):
             hyps[str(id_)] = decode_sequence(tokenizer, seq)
-    if result_dir:
+    # merge the disjoint per-host shards BEFORE scoring (reference
+    # test.py:203 all_gather_list): every host must report the same
+    # dataset-level metric or the per-host best-checkpoint tracking in
+    # Trainer.validate diverges. Single-host: no-op.
+    from valor_tpu.parallel.collectives import all_gather_objects
+
+    merged: Dict[str, str] = {}
+    for chunk in all_gather_objects(hyps):
+        merged.update(chunk)
+    hyps = merged
+    if result_dir and jax.process_index() == 0:
         import json
         import os
 
@@ -302,27 +340,30 @@ def validate_qa(
                         "batch (QA test collate) or pass tile_index"
                     )
                 gts.append(answers[str(row_to_id[j])])
-    if result_dir:
+    # merge the disjoint per-host shards BEFORE scoring (reference
+    # test.py:101 all_gather_list) so every host reports the same
+    # dataset-level accuracy; the submit gather runs UNCONDITIONALLY —
+    # gating it on the local list would misalign collectives on hosts
+    # with an empty shard. Single-host: no-ops.
+    from valor_tpu.parallel.collectives import all_gather_lists
+
+    gts = all_gather_lists(gts)
+    preds = all_gather_lists(preds)
+    submit = all_gather_lists(submit)
+    if result_dir and jax.process_index() == 0:
         import json
         import os
 
-        from valor_tpu.parallel.collectives import all_gather_lists
-
-        all_gts = all_gather_lists(gts)
-        all_preds = all_gather_lists(preds)
-        all_submit = all_gather_lists(submit) if submit else []
-        if jax.process_index() != 0:
-            return {"accuracy": qa_accuracy(preds, gts)}
         os.makedirs(result_dir, exist_ok=True)
         g = task.caption_groups[0]
         with open(os.path.join(result_dir, f"step{step}_gt.json"), "w") as f:
-            json.dump(all_gts, f)
+            json.dump(gts, f)
         with open(os.path.join(result_dir, f"step{step}_{g}_pred.json"), "w") as f:
-            json.dump(all_preds, f)
-        if all_submit:
+            json.dump(preds, f)
+        if submit:
             name = f"step{step}_{g}_pred_submited_{dset_name or 'qa'}.json"
             with open(os.path.join(result_dir, name), "w") as f:
-                json.dump(all_submit, f)
+                json.dump(submit, f)
     return {"accuracy": qa_accuracy(preds, gts)}
 
 
@@ -370,12 +411,17 @@ def validate_pt(
         report["caption_token_acc"] = round(100.0 * cap_hit / cap_tot, 2)
     if mlm_tot:
         report["mlm_token_acc"] = round(100.0 * mlm_hit / mlm_tot, 2)
-    if task.contra_groups and feats_all["feat_t"]:
+    if task.contra_groups:
+        # gather UNCONDITIONALLY on the host-independent task spec — a
+        # `and feats_all["feat_t"]` guard here would be data-dependent
+        # collective participation (empty-shard hosts would skip while
+        # the rest block inside the gather)
         feats, ids, ids_txt = _gather_eval_features(feats_all, ids, ids_txt)
-        g = task.contra_groups[0]
-        score = retrieval_scores(model, params, feats, g, contra_type)
-        r = retrieval_report(score, ids, ids_txt or ids)
-        report[f"contra_recall_{g}"] = r["forward_r1"]
+        if feats.get("feat_t") is not None and feats["feat_t"].shape[0] > 0:
+            g = task.contra_groups[0]
+            score = retrieval_scores(model, params, feats, g, contra_type)
+            r = retrieval_report(score, ids, ids_txt or ids)
+            report[f"contra_recall_{g}"] = r["forward_r1"]
     return report
 
 

@@ -102,14 +102,20 @@ class VALORModel(nn.Module):
             if not c.checkpointing:
                 return False
             tokens = {s.strip() for s in c.remat_scope.split(",") if s.strip()}
-            bad = tokens - {"all", "vision", "text", "audio", "fusion"}
-            if bad:
-                # a typo here would silently disable checkpointing and only
-                # surface as an HBM OOM at flagship shapes
+            bad = tokens - {"all", "vision", "text", "audio", "fusion", "none"}
+            if bad or not tokens:
+                # a typo OR an empty scope here would silently disable
+                # checkpointing and only surface as an HBM OOM at
+                # flagship shapes; an intentional no-remat config says so
+                # explicitly with remat_scope='none' (or checkpointing
+                # off)
                 raise ValueError(
-                    f"remat_scope contains unknown token(s) {sorted(bad)}; "
-                    "valid: all, vision, text, audio, fusion"
+                    f"checkpointing=True with remat_scope={c.remat_scope!r}"
+                    f"{' (unknown token(s) ' + repr(sorted(bad)) + ')' if bad else ''}; "
+                    "valid tokens: all, vision, text, audio, fusion, none"
                 )
+            if tokens == {"none"}:
+                return False
             return "all" in tokens or which in tokens
         self.is_clip_video = c.video_encoder_type.startswith("clip")
         self.is_clip_text = c.txt_encoder_type.startswith("clip")

@@ -122,7 +122,14 @@ def clip_by_global_norm_flat(max_norm: float) -> optax.GradientTransformation:
         del params
         gnorm = global_norm_flat(updates)
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-9))
-        return jax.tree_util.tree_map(lambda u: u * scale, updates), state
+        # multiply in f32 (one rounding on store) but KEEP each leaf's
+        # dtype: a plain `u * scale` with a f32 scalar promotes bf16
+        # grads back to f32, silently defeating the grad_dtype regime's
+        # traffic saving through the adam stage downstream
+        return (
+            jax.tree_util.tree_map(lambda u: (u * scale).astype(u.dtype), updates),
+            state,
+        )
 
     return optax.GradientTransformation(init, update)
 
@@ -157,22 +164,27 @@ def scale_by_adam_dtyped(
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def upd_mu(g, m):
-            return (b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(jnp.float32)).astype(mu_dtype)
+        def mu32(g, m):
+            return b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(jnp.float32)
 
-        def upd_nu(g, v):
+        def nu32(g, v):
             g = g.astype(jnp.float32)
-            return (b2 * v.astype(jnp.float32) + (1 - b2) * g * g).astype(nu_dtype)
+            return b2 * v.astype(jnp.float32) + (1 - b2) * g * g
 
-        mu = jax.tree_util.tree_map(upd_mu, updates, state.mu)
-        nu = jax.tree_util.tree_map(upd_nu, updates, state.nu)
+        def adam(g, m, v):
+            # the step's update reads the FULL-PRECISION EMAs — optax
+            # semantics (scale_by_adam casts to mu_dtype for storage
+            # only, after computing the update); the casts below are
+            # storage-only.  XLA CSEs the duplicated EMA expressions.
+            return (mu32(g, m) / c1) / (jnp.sqrt(nu32(g, v) / c2) + eps)
 
-        def adam(m, v):
-            m_hat = m.astype(jnp.float32) / c1
-            v_hat = v.astype(jnp.float32) / c2
-            return m_hat / (jnp.sqrt(v_hat) + eps)
-
-        new_updates = jax.tree_util.tree_map(adam, mu, nu)
+        new_updates = jax.tree_util.tree_map(adam, updates, state.mu, state.nu)
+        mu = jax.tree_util.tree_map(
+            lambda g, m: mu32(g, m).astype(mu_dtype), updates, state.mu
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: nu32(g, v).astype(nu_dtype), updates, state.nu
+        )
         return new_updates, AdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
