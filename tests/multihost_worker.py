@@ -177,6 +177,79 @@ def check_validate_qa_cap_merge(rank):
         V.gen.generate = orig
 
 
+def check_trainer_2host(jax, rank, out_dir):
+    """PRODUCTION Trainer under a real 2-process cluster: params built and
+    replicated through build_model_and_state on the global 4-device mesh,
+    batches shipped through DevicePrefetcher -> shard_batch's multihost
+    global-array branch, orbax multihost checkpoint write + the rank-0
+    best-copy/cleanup bookkeeping (shared-FS race if done on all hosts),
+    and identical loss trajectories on both ranks."""
+    import jax.numpy as jnp
+
+    from tests.conftest import tiny_model_config
+    from valor_tpu.cli.build import build_model_and_state
+    from valor_tpu.core.config import Config, TrainConfig
+    from valor_tpu.parallel.mesh import make_mesh
+    from valor_tpu.train.checkpoints import ModelSaver
+    from valor_tpu.train.trainer import Trainer
+
+    run_dir = os.path.join(out_dir, "train2host")
+    mesh = make_mesh(n_data=4, n_model=1)
+    mcfg = tiny_model_config(
+        fusion_vocab=512, txt_encoder_type="bert_base_uncased", init_clip_head=False
+    )
+    cfg = Config(
+        model=mcfg,
+        train=TrainConfig(
+            num_train_steps=3, train_inner_steps=1, valid_steps=0,
+            save_best=True, learning_rate=1e-3, seed=0,
+        ),
+    )
+    b = _item_batch([0, 1])  # per-host half of the global batch-4
+    example = {k: v for k, v in b.items() if k != "ids"}
+    model, tx, state = build_model_and_state(cfg, example, mesh=mesh)
+
+    def batches():
+        for i in range(3):
+            local = _item_batch([2 * i, 2 * i + 1])  # same on both ranks
+            yield "ret%tv--fix", {k: v for k, v in local.items() if k != "ids"}
+
+    saver = ModelSaver(run_dir, remove_before_ckpt=True)
+    reports = {}
+
+    def validate_fn(params, step):
+        # host-independent fake metric exercising the save_best path
+        reports[step] = {"fix": {"ravg": float(step)}}
+        return reports[step]
+
+    trainer = Trainer(
+        cfg, model, tx, state,
+        list(batches()), validate_fn=validate_fn, saver=saver, mesh=mesh,
+    )
+    # list loaders skip the DevicePrefetcher wiring; re-attach it to run
+    # the REAL shard_batch put path (Trainer does this for iterators)
+    from valor_tpu.data.loader import DevicePrefetcher
+    from valor_tpu.parallel.mesh import shard_batch
+
+    trainer.meta_loader = DevicePrefetcher(
+        iter(batches()), lambda bb: shard_batch(mesh, bb)
+    )
+    final = trainer.run()
+    loss = float(trainer.meters["ret%tv--fix/total_loss"].val)
+    assert np.isfinite(loss)
+    # rank 0 owns the best-copy bookkeeping; barrier before FS asserts
+    from valor_tpu.parallel.collectives import all_gather_objects
+
+    all_gather_objects("ckpt-barrier")
+    ck = os.path.join(run_dir, "ckpt")
+    assert os.path.isdir(os.path.join(ck, "step_3")), os.listdir(run_dir)
+    assert os.path.isdir(os.path.join(ck, "best_fix")), os.listdir(ck)
+    restored = saver.restore(final)
+    assert restored is not None and int(restored["micro_step"]) == 3
+    with open(os.path.join(out_dir, f"trainer_rank{rank}.json"), "w") as f:
+        json.dump({"loss": loss}, f)
+
+
 def main():
     rank, coord, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -194,6 +267,7 @@ def main():
     check_gather_empty_shard(rank)
     check_validate_qa_cap_merge(rank)
     check_validate_ret(jax, rank, out_dir)
+    check_trainer_2host(jax, rank, out_dir)
     print(f"rank {rank}: OK", flush=True)
 
 

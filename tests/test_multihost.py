@@ -66,6 +66,15 @@ class TestTwoProcessCluster:
         r1 = json.load(open(worker_reports / "report_rank1.json"))
         assert r0 == r1  # every host sees the merged gallery
 
+    def test_trainer_2host(self, worker_reports):
+        """The PRODUCTION Trainer ran 3 steps on the 2-process global mesh
+        (build_model_and_state -> DevicePrefetcher/shard_batch -> orbax
+        multihost checkpoint + rank-0 best-copy) with identical losses."""
+        t0 = json.load(open(worker_reports / "trainer_rank0.json"))
+        t1 = json.load(open(worker_reports / "trainer_rank1.json"))
+        assert t0 == t1
+        assert np.isfinite(t0["loss"])
+
     def test_merged_report_equals_single_host(self, worker_reports):
         """The 2-host merged retrieval report must equal a single-host
         eval over the same 7 items (gallery count == dataset size — the

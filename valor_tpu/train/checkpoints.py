@@ -58,21 +58,27 @@ class ModelSaver:
             "micro_step": int(state.step),
         }
         if _HAS_ORBAX:
+            # every process participates (orbax coordinates the
+            # multihost write and barriers in wait_until_finished)
             self._ckptr.save(path, payload, force=True)
             self._ckptr.wait_until_finished()
-        else:  # flat-numpy fallback
+        elif jax.process_index() == 0:  # flat-numpy fallback
             os.makedirs(path, exist_ok=True)
             flat = jax.tree_util.tree_map(np.asarray, payload)
             np.save(os.path.join(path, "state.npy"), flat, allow_pickle=True)
-        if best_name:
-            best_path = os.path.join(self.output_dir, "ckpt", f"best_{best_name}")
-            if os.path.exists(best_path):
-                shutil.rmtree(best_path)
-            shutil.copytree(path, best_path)
-        if self.remove_before and self.last_step is not None:
-            prev = _ckpt_dir(self.output_dir, self.last_step)
-            if os.path.exists(prev):
-                shutil.rmtree(prev)
+        # plain-filesystem bookkeeping (best copy, previous-step cleanup)
+        # must run on ONE process: on a shared filesystem two hosts
+        # rmtree/copytree-ing the same directory race and crash
+        if jax.process_index() == 0:
+            if best_name:
+                best_path = os.path.join(self.output_dir, "ckpt", f"best_{best_name}")
+                if os.path.exists(best_path):
+                    shutil.rmtree(best_path)
+                shutil.copytree(path, best_path)
+            if self.remove_before and self.last_step is not None:
+                prev = _ckpt_dir(self.output_dir, self.last_step)
+                if os.path.exists(prev):
+                    shutil.rmtree(prev)
         self.last_step = step
 
     def latest_step(self) -> Optional[int]:
