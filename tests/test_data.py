@@ -447,7 +447,7 @@ class TestResampler:
 
 class TestNon22050Audio:
     """Non-22050 files go through the resampler on BOTH mapper paths; the
-    device_fbank spans stay parity with the host mel path (DIVERGENCES #17)."""
+    device_fbank spans stay parity with the host mel path (DIVERGENCES #19)."""
 
     @pytest.fixture
     def audio_16k(self, tmp_path):

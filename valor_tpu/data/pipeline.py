@@ -300,7 +300,7 @@ class AudioMapper:
         reference instead runs kaldi.fbank at each file's native rate
         (data/data.py:283-315), but its own extraction tool emits 22050 Hz
         wavs, so the paths agree on reference-layout data
-        (DIVERGENCES.md #17)."""
+        (DIVERGENCES.md #19)."""
         if sr == self.sample_frequency:
             return wav
         from valor_tpu.data.resample import resample
