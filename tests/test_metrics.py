@@ -53,9 +53,15 @@ class TestCaptionMetrics:
         assert 0 < bleu[0] < 1
 
     def test_sentence_bleu_bounds(self):
-        s = bleu_sentence(["a", "cat"], [["a", "cat"]])
-        np.testing.assert_allclose(s, 1.0, rtol=1e-6)
-        assert bleu_sentence(["x"], [["a", "cat"]]) < 0.1
+        # pycocoevalcap per-image smoothing (tiny/small): a perfect match
+        # with all four orders present scores ~1; an order with zero
+        # hypothesis n-grams contributes (0+1e-15)/(0+1e-9) = 1e-6, so a
+        # 2-token perfect match is deliberately NOT 1.0 (reference
+        # scorer/bleu_scorer.py:237-238 — SCST trains on these values)
+        s = bleu_sentence(["a", "cat", "sat", "down"], [["a", "cat", "sat", "down"]])
+        np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+        assert bleu_sentence(["x"], [["a", "cat"]]) < 1e-4
+        assert bleu_sentence(["a", "cat"], [["a", "cat"]]) < 0.1
 
     def test_cider_identical_beats_different(self):
         # corpus needs idf variety: identical refs across all docs give

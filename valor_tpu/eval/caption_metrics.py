@@ -84,19 +84,23 @@ def bleu_corpus(
 
 
 def bleu_sentence(hyp: List[str], refs: List[List[str]], max_n: int = 4) -> float:
-    """Smoothed sentence BLEU-4 for SCST reward (add-1 smoothing on empty)."""
+    """Per-sentence BLEU-4 exactly as pycocoevalcap's BleuScorer emits its
+    per-image scores (reference scorer/bleu_scorer.py:202-247): geometric
+    mean of (correct_k + 1e-15)/(guess_k + 1e-9) over orders 1..N with the
+    closest-reference brevity penalty applied when ratio < 1.  This IS the
+    BLEU term of the SCST reward (scorer/scorer.py:70-75), so the tiny/small
+    smoothing constants must match — golden-tested in
+    tests/test_ret_scst_golden.py."""
+    small, tiny = 1e-9, 1e-15
     stats, hl, rl = _bleu_stats(hyp, refs, max_n)
-    bp = 1.0 if hl > rl else math.exp(1 - rl / max(hl, 1))
-    logsum = 0.0
-    for n, (m, t) in enumerate(stats):
-        if t == 0:
-            p = 1.0  # no n-grams of this order exist in the hypothesis
-        elif n > 0:
-            p = (m + 1.0) / (t + 1.0)  # add-1 smoothing on higher orders
-        else:
-            p = m / t if m else 1e-16
-        logsum += math.log(max(p, 1e-16))
-    return bp * math.exp(logsum / max_n)
+    bleu = 1.0
+    for m, t in stats:
+        bleu *= (m + tiny) / (t + small)
+    out = bleu ** (1.0 / max_n)
+    ratio = (hl + tiny) / (rl + small)
+    if ratio < 1:
+        out *= math.exp(1 - 1 / ratio)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -61,13 +61,18 @@ def _stats(ranks: np.ndarray, prefix: str) -> Dict[str, float]:
     r1 = 100.0 * float((ranks < 1).sum()) / n
     r5 = 100.0 * float((ranks < 5).sum()) / n
     r10 = 100.0 * float((ranks < 10).sum()) / n
+    # medianR follows torch.median semantics (reference test.py:735):
+    # the LOWER of the two middle ranks for even-length vectors, where
+    # np.median would average them (a 0.5 medianR divergence on every
+    # even-sized gallery otherwise).
+    median = float(np.sort(ranks)[(len(ranks) - 1) // 2] + 1) if len(ranks) else float("nan")
     return {
         f"{prefix}_r1": round(r1, 1),
         f"{prefix}_r5": round(r5, 1),
         f"{prefix}_r10": round(r10, 1),
         f"{prefix}_ravg": round((r1 + r5 + r10) / 3, 1),
-        f"{prefix}_medianR": float(np.median(ranks) + 1),
-        f"{prefix}_meanR": float(ranks.mean() + 1),
+        f"{prefix}_medianR": median,
+        f"{prefix}_meanR": float(ranks.mean() + 1) if len(ranks) else float("nan"),
     }
 
 
