@@ -119,6 +119,23 @@ class TestEndToEnd:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_checkpoint_restore_specific_step(self, tmp_path):
+        """--pretrain_step semantics: restore a chosen checkpoint instead of
+        the latest (reference train_utils.py:120-121)."""
+        import jax.numpy as jnp
+        import optax
+
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        state = TrainState.create(params, optax.sgd(0.1))
+        saver = ModelSaver(str(tmp_path / "out"), remove_before_ckpt=False)
+        saver.save(state, 1)
+        saver.save(state.replace(params={"w": jnp.full((3,), 7.0)}), 2)
+        assert saver.latest_step() == 2
+        old = saver.restore(state, step=1)
+        np.testing.assert_array_equal(np.asarray(old["params"]["w"]), np.ones(3))
+        new = saver.restore(state)
+        np.testing.assert_array_equal(np.asarray(new["params"]["w"]), np.full(3, 7.0))
+
     def test_retrieval_validation(self, fixture_root):
         from valor_tpu.eval.validate import validate_ret
 

@@ -230,7 +230,9 @@ def main(argv=None):
 
         if cfg.train.pretrain_dir:
             sub = ModelSaver(cfg.train.pretrain_dir, remove_before_ckpt=False)
-            restored = sub.restore(state)
+            # --pretrain_step selects a specific checkpoint instead of the
+            # latest (reference train_utils.py:120-121)
+            restored = sub.restore(state, step=cfg.train.pretrain_step)
             if restored:
                 params = adapt_pretrained_params(restored["params"], state.params)
                 state = state.replace(params=shard_params(params, mesh))

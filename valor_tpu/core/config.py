@@ -224,6 +224,9 @@ class TrainConfig:
     zero_shot: bool = False
     first_eval: bool = True
     pretrain_dir: Optional[str] = None
+    # load this checkpoint step from pretrain_dir instead of the latest
+    # (reference --pretrain_step, train_utils.py:120-121)
+    pretrain_step: Optional[int] = None
     checkpoint: Optional[str] = None
     # NOTE: the reference's `fp16` flag (apex AMP O2) maps to the model's
     # activation dtype here; load_config translates fp16 -> dtype
