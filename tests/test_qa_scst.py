@@ -110,7 +110,7 @@ class TestValidatePT:
         from valor_tpu.train.step import make_eval_step
 
         cfg = tiny_model_config()
-        task = parse_task("pt_contra%tv_caption%tv")
+        task = parse_task("pt_contra%tva%tv_caption%tva%tv_mlm%tv")
         model = VALORModel(cfg)
         b = make_batch(jax.random.PRNGKey(0))
         params = model.init(
@@ -122,9 +122,16 @@ class TestValidatePT:
         batch["ids"] = [f"i{i}" for i in range(4)]
         batch["ids_txt"] = batch["ids"]
         report = validate_pt(model, params, eval_step, [batch], task, cfg.contra_type)
-        assert "caption_token_acc" in report
+        # per-group accuracies + a recall per contra group (reference
+        # test.py:497-657 reports caption_acc_<g>/mlm_acc_<g>/<x>2<y>_recall)
+        for key in ("caption_acc_tva", "caption_acc_tv", "mlm_acc_tv",
+                    "caption_token_acc", "mlm_token_acc",
+                    "contra_recall_tva", "contra_recall_tv"):
+            assert key in report, (key, sorted(report))
         assert 0 <= report["caption_token_acc"] <= 100
-        assert "contra_recall_tv" in report
+        # the aggregate is the mean of the per-group accuracies
+        agg = (report["caption_acc_tva"] + report["caption_acc_tv"]) / 2
+        assert report["caption_token_acc"] == pytest.approx(agg, abs=0.02)
 
 
 class TestSCSTTrainerLoop:

@@ -370,10 +370,22 @@ def validate_qa(
 def validate_pt(
     model, params, eval_step, loader, task: TaskSpec, contra_type: str = "fine"
 ) -> Dict[str, float]:
-    """Pretrain proxy metrics (reference: test.py:415-665): token-level
-    caption/mlm accuracy on masked positions + retrieval recall on the val
-    shard when a contra objective is present."""
-    cap_hit = cap_tot = mlm_hit = mlm_tot = 0
+    """Pretrain proxy metrics (reference: test.py:415-665): per-group
+    token-level caption/mlm accuracy on masked positions + per-group
+    retrieval recall on the val shard when a contra objective is present.
+
+    Reference conventions kept: one shared masked-token denominator per
+    objective across groups (test.py:464/482), correct/total counters
+    summed over hosts BEFORE the division (all_gather_list of the counts,
+    test.py:497-531), a recall entry for every contra group.  Reference
+    bug NOT replicated: its per-group mlm counters are gated on
+    ``caption_task`` instead of ``mlm_task`` (test.py:483-492), silently
+    dropping mlm accuracy whenever the group sets differ.  Scale
+    divergence: we report percentages (0-100, like our other metrics);
+    the reference logs raw fractions rounded to 2 decimals here."""
+    cap_hit = {g: 0 for g in task.caption_groups}
+    mlm_hit = {g: 0 for g in task.mlm_groups}
+    cap_tot = mlm_tot = 0
     feats_all: Dict[str, List] = {"feat_t": [], "feat_v": [], "feat_a": [], "txt_tokens": []}
     ids: List = []
     ids_txt: List = []
@@ -382,22 +394,24 @@ def validate_pt(
         host_ids_txt = batch.pop("ids_txt", None)
         batch.pop("sample_num", None)
         out = eval_step(params, batch, task)
-        for g in task.caption_groups:
-            key = f"caption_scores_{g}"
-            if key in out:
-                pred = np.asarray(out[key]).argmax(-1)
-                lab = np.asarray(out["txt_labels_caption"])
-                m = lab != -1
-                cap_hit += int((pred[m] == lab[m]).sum())
-                cap_tot += int(m.sum())
-        for g in task.mlm_groups:
-            key = f"mlm_scores_{g}"
-            if key in out:
-                pred = np.asarray(out[key]).argmax(-1)
-                lab = np.asarray(out["txt_labels_mlm"])
-                m = lab != -1
-                mlm_hit += int((pred[m] == lab[m]).sum())
-                mlm_tot += int(m.sum())
+        if task.caption_groups and "txt_labels_caption" in out:
+            lab = np.asarray(out["txt_labels_caption"])
+            m = lab != -1
+            cap_tot += int(m.sum())
+            for g in task.caption_groups:
+                key = f"caption_scores_{g}"
+                if key in out:
+                    pred = np.asarray(out[key]).argmax(-1)
+                    cap_hit[g] += int((pred[m] == lab[m]).sum())
+        if task.mlm_groups and "txt_labels_mlm" in out:
+            lab = np.asarray(out["txt_labels_mlm"])
+            m = lab != -1
+            mlm_tot += int(m.sum())
+            for g in task.mlm_groups:
+                key = f"mlm_scores_{g}"
+                if key in out:
+                    pred = np.asarray(out[key]).argmax(-1)
+                    mlm_hit[g] += int((pred[m] == lab[m]).sum())
         if task.contra_groups:
             for k in ("feat_t", "feat_v", "feat_a", "txt_tokens"):
                 if out.get(k) is not None:
@@ -406,11 +420,32 @@ def validate_pt(
                 ids.extend(host_ids)
             if host_ids_txt is not None:
                 ids_txt.extend(host_ids_txt)
+    # merge counters across hosts before dividing — every host must report
+    # the dataset-level accuracy or per-host best-checkpoint tracking
+    # diverges (same contract as validate_cap/validate_qa). One
+    # unconditional gather: participation must not depend on local data.
+    from valor_tpu.parallel.collectives import all_gather_objects
+
+    merged = all_gather_objects((cap_hit, cap_tot, mlm_hit, mlm_tot))
+    cap_hit = {g: sum(c[0][g] for c in merged) for g in task.caption_groups}
+    mlm_hit = {g: sum(c[2][g] for c in merged) for g in task.mlm_groups}
+    cap_tot = sum(c[1] for c in merged)
+    mlm_tot = sum(c[3] for c in merged)
     report: Dict[str, float] = {}
+    for g in task.caption_groups:
+        if cap_tot:
+            report[f"caption_acc_{g}"] = round(100.0 * cap_hit[g] / cap_tot, 2)
     if cap_tot:
-        report["caption_token_acc"] = round(100.0 * cap_hit / cap_tot, 2)
+        report["caption_token_acc"] = round(
+            100.0 * sum(cap_hit.values()) / (cap_tot * max(len(cap_hit), 1)), 2
+        )
+    for g in task.mlm_groups:
+        if mlm_tot:
+            report[f"mlm_acc_{g}"] = round(100.0 * mlm_hit[g] / mlm_tot, 2)
     if mlm_tot:
-        report["mlm_token_acc"] = round(100.0 * mlm_hit / mlm_tot, 2)
+        report["mlm_token_acc"] = round(
+            100.0 * sum(mlm_hit.values()) / (mlm_tot * max(len(mlm_hit), 1)), 2
+        )
     if task.contra_groups:
         # gather UNCONDITIONALLY on the host-independent task spec — a
         # `and feats_all["feat_t"]` guard here would be data-dependent
@@ -418,10 +453,13 @@ def validate_pt(
         # the rest block inside the gather)
         feats, ids, ids_txt = _gather_eval_features(feats_all, ids, ids_txt)
         if feats.get("feat_t") is not None and feats["feat_t"].shape[0] > 0:
-            g = task.contra_groups[0]
-            score = retrieval_scores(model, params, feats, g, contra_type)
-            r = retrieval_report(score, ids, ids_txt or ids)
-            report[f"contra_recall_{g}"] = r["forward_r1"]
+            # one recall per contra group (reference test.py:534-657:
+            # t2v/t2va/t2a/v2a/v2ta/a2tv recalls)
+            for g in task.contra_groups:
+                score = retrieval_scores(model, params, feats, g, contra_type)
+                row_ids = (ids_txt or ids) if g[0] == "t" else ids
+                r = retrieval_report(score, ids, row_ids)
+                report[f"contra_recall_{g}"] = r["forward_r1"]
     return report
 
 
