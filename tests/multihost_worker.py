@@ -177,6 +177,46 @@ def check_validate_qa_cap_merge(rank):
         V.gen.generate = orig
 
 
+def check_validate_pt_merge(rank):
+    """validate_pt counters must be summed over hosts before dividing so
+    both ranks report the dataset-level token accuracies (reference
+    test.py:497-531 all_gather_list of the counts)."""
+    import numpy as np
+
+    from valor_tpu.core.tasks import parse_task
+    from valor_tpu.eval.validate import validate_pt
+
+    spec = parse_task("pt_caption%tv_mlm%tv")
+    V = 10
+
+    def onehot(rows):  # [N,L] ids -> [N,L,V] scores
+        return np.eye(V, dtype=np.float32)[np.asarray(rows)]
+
+    if rank == 0:
+        cap_lab = np.array([[1, 2, -1], [3, -1, -1]])  # 3 masked tokens
+        cap_pred = [[1, 9, 0], [3, 0, 0]]  # 2 hits
+        mlm_lab = np.array([[7, -1, -1], [8, -1, -1]])  # 2 tokens
+        mlm_pred = [[7, 0, 0], [9, 0, 0]]  # 1 hit
+    else:
+        cap_lab = np.array([[4, 5, -1]])  # 2 tokens
+        cap_pred = [[9, 9, 0]]  # 0 hits
+        mlm_lab = np.array([[6, -1, -1]])  # 1 token
+        mlm_pred = [[6, 0, 0]]  # 1 hit
+
+    def eval_step(params, batch, task):
+        return {
+            "caption_scores_tv": onehot(cap_pred),
+            "txt_labels_caption": cap_lab,
+            "mlm_scores_tv": onehot(mlm_pred),
+            "txt_labels_mlm": mlm_lab,
+        }
+
+    rep = validate_pt(None, None, eval_step, [{}], spec)
+    # merged over both ranks: caption 2/5, mlm 2/3 — identical on each
+    assert rep["caption_acc_tv"] == 40.0, rep
+    assert rep["mlm_acc_tv"] == 66.67, rep
+
+
 def check_trainer_2host(jax, rank, out_dir):
     """PRODUCTION Trainer under a real 2-process cluster: params built and
     replicated through build_model_and_state on the global 4-device mesh,
@@ -266,6 +306,7 @@ def main():
     check_object_collectives(rank)
     check_gather_empty_shard(rank)
     check_validate_qa_cap_merge(rank)
+    check_validate_pt_merge(rank)
     check_validate_ret(jax, rank, out_dir)
     check_trainer_2host(jax, rank, out_dir)
     print(f"rank {rank}: OK", flush=True)

@@ -474,6 +474,8 @@ def decode_sequence(tokenizer, seq: np.ndarray, eos: int = 102) -> str:
     return tokenizer.decode(toks)
 
 
-# best-metric key per task family (reference: train_utils.py:258-272)
-def best_metric_name(task: TaskSpec) -> str:
-    return {"ret": "ravg", "cap": "CIDEr", "qa": "accuracy", "pt": "total"}[task.family]
+# best-metric key per task family (reference: train_utils.py:258-272 —
+# pt runs track no best checkpoint, get_best_name returns None for them;
+# Trainer.evaluate_and_save scans for these keys directly)
+def best_metric_name(task: TaskSpec) -> Optional[str]:
+    return {"ret": "ravg", "cap": "CIDEr", "qa": "accuracy", "pt": None}[task.family]
