@@ -108,8 +108,8 @@ def retrieval_scores(
         t, v, a = part("t"), part("v"), part("a")
         ones = lambda p: jnp.ones_like(p[2])
         return np.asarray(
-            L.fine_score_chunked(t[0], v[0], t[1], v[1], ones(t), ones(v))
-            + L.fine_score_chunked(t[0], a[0], t[1], a[1], ones(t), ones(a))
+            L.fine_score_gallery(t[0], v[0], t[1], v[1], ones(t), ones(v))
+            + L.fine_score_gallery(t[0], a[0], t[1], a[1], ones(t), ones(a))
         )
     qn, gn = _GROUP_SIDES[group]
     if len(gn) > 1 and "t" in gn:
@@ -126,7 +126,7 @@ def retrieval_scores(
         # reference test.py:315-318: unit weights on both sides
         q = (q[0], q[1], jnp.ones_like(q[2]))
         g = (g[0], g[1], jnp.ones_like(g[2]))
-    return np.asarray(L.fine_score_chunked(q[0], g[0], q[1], g[1], q[2], g[2]))
+    return np.asarray(L.fine_score_gallery(q[0], g[0], q[1], g[1], q[2], g[2]))
 
 
 def _gather_eval_features(

@@ -168,6 +168,37 @@ def fine_score_chunked(
     return out.reshape(n_chunks * chunk, feat_b.shape[0])[:a]
 
 
+def fine_score_gallery(
+    feat_a, feat_b, mask_a, mask_b, weight_a, weight_b, chunk: int = 100
+):
+    """Eval-gallery fine score: fused Pallas kernel on TPU, chunked jnp
+    elsewhere.
+
+    The Pallas path (ops/pallas/fine_score.py) never materialises the
+    [A, B, T, V] logits tensor in HBM, so no gallery slicing is needed —
+    the TPU answer to the reference's 1200-row slice
+    (model/pretrain.py:178-189).  ``VALOR_FINE_KERNEL=jnp|pallas``
+    overrides the auto choice (numerics are parity-tested either way,
+    tests/test_pallas.py::TestFineScoreFused)."""
+    import os
+
+    choice = os.environ.get("VALOR_FINE_KERNEL", "auto")
+    use_pallas = choice == "pallas" or (
+        choice == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from valor_tpu.ops.pallas.fine_score import fine_score_fused
+
+        # forcing pallas off-TPU (parity debugging) runs the interpreter
+        return fine_score_fused(
+            feat_a, feat_b, mask_a, mask_b, weight_a, weight_b,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return fine_score_chunked(
+        feat_a, feat_b, mask_a, mask_b, weight_a, weight_b, chunk=chunk
+    )
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
