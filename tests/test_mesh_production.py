@@ -83,6 +83,8 @@ class TestProductionMesh:
             num_train_steps=1,
             first_eval=False,
             model_shards=2,
+            sequence_parallel=True,
+            zero_optimizer=True,
             train_batch_size=8,
             output_dir=str(root / "out_tp"),
         )
@@ -95,11 +97,21 @@ class TestProductionMesh:
             orig_init(self, *a, **kw)
             seen["mesh"] = self.mesh
             seen["params"] = self.state.params
+            seen["opt_state"] = self.state.opt_state
 
         monkeypatch.setattr(T.Trainer, "__init__", spy_init)
         from valor_tpu.cli.train import main
+        from valor_tpu.parallel.activations import (
+            sequence_sharding_applied,
+            set_sequence_sharding,
+        )
 
-        main(["--config", str(cfg_path)])
+        try:
+            main(["--config", str(cfg_path)])
+            # sequence_parallel=True engaged during the model trace
+            assert sequence_sharding_applied() > 0
+        finally:
+            set_sequence_sharding(None)
         mesh = seen["mesh"]
         assert mesh.shape[DATA_AXIS] == 4 and mesh.shape[MODEL_AXIS] == 2
         # at least one matmul kernel is sharded over the model axis
@@ -111,6 +123,16 @@ class TestProductionMesh:
             and any(ax == MODEL_AXIS for ax in (x.sharding.spec or ()) if ax)
         ]
         assert tp_leaves, "no tensor-parallel-sharded params found"
+        # zero_optimizer=True: some large adam moment sharded over `data`
+        zero_leaves = [
+            x
+            for x in jax.tree_util.tree_leaves(seen["opt_state"])
+            if getattr(x, "ndim", 0) >= 2
+            and x.size >= 1 << 14
+            and isinstance(x.sharding, NamedSharding)
+            and any(ax == DATA_AXIS for ax in (x.sharding.spec or ()) if ax)
+        ]
+        assert zero_leaves, "no ZeRO-1 data-sharded adam moments found"
 
     def test_sharded_equals_single_device(self, cli_fixture):
         """The mesh-wired CLI produces the same first-step loss as the same

@@ -270,6 +270,9 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
 
     set_remat_policy(cfg.model.remat_policy)
     set_scores_dtype(cfg.model.attention_logits_dtype)
+    from valor_tpu.parallel.activations import set_sequence_sharding
+
+    set_sequence_sharding(mesh if cfg.model.sequence_parallel else None)
 
     model = VALORModel(cfg.model)
     if isinstance(example_batches, dict) and example_batches and all(

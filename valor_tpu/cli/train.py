@@ -208,7 +208,9 @@ def main(argv=None):
     )
     model, tx, state = build_model_and_state(cfg, example_batches, mesh=mesh)
 
-    saver = ModelSaver(out_dir, cfg.train.remove_before_ckpt)
+    saver = ModelSaver(
+        out_dir, cfg.train.remove_before_ckpt, use_async=cfg.train.async_checkpoint
+    )
     if cfg.train.resume:
         restored = saver.restore(state)
         if restored:

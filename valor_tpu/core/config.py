@@ -115,6 +115,12 @@ class ModelConfig:
     # jax.checkpoint_policies name ('' = save nothing): e.g. 'dots_saveable'
     # keeps matmul outputs, trading memory for less backward recompute
     remat_policy: str = ""
+    # sequence-parallel sharding of the fusion residual stream over the
+    # mesh `model` axis (parallel/activations.py).  The reference has no
+    # SP (SURVEY.md §5); this is the TPU-native long-context lever: one
+    # GSPMD constraint, collectives inserted by the compiler.  Only
+    # engages when a mesh with model>1 is in use.
+    sequence_parallel: bool = False
     dtype: str = "bfloat16"  # activation dtype on TPU; params stay fp32
     # dtype of the materialised [B,H,Q,K] attention logits (softmax still
     # reduces in fp32 registers).  'bfloat16' halves the largest
@@ -220,6 +226,10 @@ class TrainConfig:
     submit_format: str = ""
     save_best: bool = False
     remove_before_ckpt: bool = True
+    # orbax AsyncCheckpointer: the save commits in a background thread
+    # while training continues (the reference blocks on torch.save);
+    # bookkeeping is deferred until the write is durable
+    async_checkpoint: bool = False
     resume: bool = False
     zero_shot: bool = False
     first_eval: bool = True

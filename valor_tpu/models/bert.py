@@ -338,9 +338,14 @@ class BertFusionEncoder(nn.Module):
         cross_v = video_feat.astype(self.dtype) if (c.has_cross_attn and video_feat is not None) else None
         cross_a = audio_feat.astype(self.dtype) if (c.has_cross_attn and audio_feat is not None) else None
 
+        # optional sequence-parallel sharding of the residual stream
+        # (no-op unless ModelConfig.sequence_parallel installed a mesh)
+        from valor_tpu.parallel.activations import sequence_sharded
+
+        x = sequence_sharded(x)
         for i, layer in enumerate(self.layers):
             kv = cross_kv_list[i] if cross_kv_list is not None else None
-            x = layer(x, bias, cross_v, cross_a, cross_kv=kv)
+            x = sequence_sharded(layer(x, bias, cross_v, cross_a, cross_kv=kv))
         return x
 
 

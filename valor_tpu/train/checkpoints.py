@@ -37,13 +37,37 @@ def _ckpt_dir(output_dir: str, step: int) -> str:
 
 
 class ModelSaver:
-    def __init__(self, output_dir: str, remove_before_ckpt: bool = True):
+    """Checkpoint writer.
+
+    ``use_async=True`` (TrainConfig.async_checkpoint) swaps the orbax
+    StandardCheckpointer for an AsyncCheckpointer: ``save`` returns as soon
+    as the state has been snapshotted to host memory and the write commits
+    in a background thread while training continues — the reference blocks
+    the whole job on torch.save every eval interval (utils/save.py:38-64).
+    Filesystem bookkeeping (best copy, previous-step cleanup) is deferred
+    until the write that produced it is durable: the next ``save`` or
+    ``finish()`` waits on the pending write first, so a crash mid-write can
+    never have deleted the previous good checkpoint.
+    """
+
+    def __init__(
+        self,
+        output_dir: str,
+        remove_before_ckpt: bool = True,
+        use_async: bool = False,
+    ):
         self.output_dir = output_dir
         self.remove_before = remove_before_ckpt
         self.last_step: Optional[int] = None
+        self.use_async = bool(use_async) and _HAS_ORBAX
+        self._pending: Optional[tuple] = None  # (step, best_name) of in-flight write
         os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
         if _HAS_ORBAX:
-            self._ckptr = ocp.StandardCheckpointer()
+            self._ckptr = (
+                ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                if self.use_async
+                else ocp.StandardCheckpointer()
+            )
 
     def save(self, state, step: int, best_name: Optional[str] = None) -> None:
         path = os.path.abspath(_ckpt_dir(self.output_dir, step))
@@ -60,16 +84,35 @@ class ModelSaver:
         if _HAS_ORBAX:
             # every process participates (orbax coordinates the
             # multihost write and barriers in wait_until_finished)
+            self.finish()  # previous async write (if any) + its bookkeeping
             self._ckptr.save(path, payload, force=True)
+            if self.use_async:
+                self._pending = (step, best_name)
+                return
             self._ckptr.wait_until_finished()
         elif jax.process_index() == 0:  # flat-numpy fallback
             os.makedirs(path, exist_ok=True)
             flat = jax.tree_util.tree_map(np.asarray, payload)
             np.save(os.path.join(path, "state.npy"), flat, allow_pickle=True)
+        self._bookkeep(step, best_name)
+
+    def finish(self) -> None:
+        """Block until any in-flight async write is durable and run its
+        deferred bookkeeping.  No-op for sync savers; call at end of
+        training and before any restore/latest_step readback."""
+        if self._pending is None:
+            return
+        step, best_name = self._pending
+        self._pending = None
+        self._ckptr.wait_until_finished()
+        self._bookkeep(step, best_name)
+
+    def _bookkeep(self, step: int, best_name: Optional[str]) -> None:
         # plain-filesystem bookkeeping (best copy, previous-step cleanup)
         # must run on ONE process: on a shared filesystem two hosts
         # rmtree/copytree-ing the same directory race and crash
         if jax.process_index() == 0:
+            path = os.path.abspath(_ckpt_dir(self.output_dir, step))
             if best_name:
                 best_path = os.path.join(self.output_dir, "ckpt", f"best_{best_name}")
                 if os.path.exists(best_path):
@@ -82,6 +125,7 @@ class ModelSaver:
         self.last_step = step
 
     def latest_step(self) -> Optional[int]:
+        self.finish()
         root = os.path.join(self.output_dir, "ckpt")
         if not os.path.isdir(root):
             return None
@@ -93,6 +137,7 @@ class ModelSaver:
         return max(steps) if steps else None
 
     def restore(self, state, step: Optional[int] = None):
+        self.finish()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None

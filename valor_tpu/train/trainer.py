@@ -204,6 +204,8 @@ class Trainer:
                 break
         self._drain_metrics()
         self.evaluate_and_save(micro // accum)
+        if self.saver is not None:
+            self.saver.finish()  # drain any in-flight async checkpoint write
         return self.state
 
     def _flush(self, pending: list, spec: TaskSpec, micro: int, task_name: str) -> int:
