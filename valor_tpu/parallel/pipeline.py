@@ -1,0 +1,238 @@
+"""GPipe-style pipeline parallelism over a ``pipe`` mesh axis.
+
+The reference framework has no pipeline parallelism — its only scaling
+strategy is 8-GPU DDP (reference: train_utils.py:46,232).  On TPU,
+pipelining is the idiomatic way to scale a deep homogeneous stack past
+one chip's HBM, and it composes with the data/tensor axes this package
+already provides (parallel/mesh.py, parallel/partition.py):
+
+  * the layer-stacked parameters shard over a ``pipe`` mesh axis
+    (leading ``[n_stages, layers_per_stage, ...]`` dim), so each device
+    holds only its stage's weights;
+  * activations move between *neighbouring* devices with
+    ``lax.ppermute`` — a nearest-neighbour ICI transfer, the cheapest
+    collective on a TPU torus;
+  * the whole schedule is ONE ``lax.scan`` inside ``shard_map``: XLA
+    sees a single static program (no per-tick dispatch, no dynamic
+    shapes) and overlaps each tick's ppermute with the next tick's
+    stage compute.
+
+Schedule: single-direction GPipe.  ``M`` microbatches flow through
+``S`` stages in ``M + S - 1`` ticks; every tick each stage applies its
+layer block to its resident activation and results rotate one hop.
+Bubble fraction is ``(S - 1) / (M + S - 1)`` — pick ``M >= 4 * S`` for
+>75% pipeline utilisation.  The backward pass needs no hand-written
+schedule: ``jax.grad`` of this program transposes the ``ppermute`` into
+the reverse rotation and the ``scan`` into the reverse-time scan,
+yielding the standard reverse-flow pipeline automatically.
+
+Composition: inputs/outputs may shard their batch dim over the ``data``
+axis of the same mesh (DP x PP).  Parameters are replicated over
+``data``; AD inserts the gradient ``psum`` over ``data`` exactly as in
+the pure-DP path.  Tensor-parallel sharding of the *within-stage*
+matmuls composes too (the stage_fn runs under the same mesh), but the
+stacked-params helpers here deliberately keep that orthogonal.
+
+Memory note: microbatch inputs and collected outputs are replicated
+across the pipe axis (each stage carries the full ``[M, mb, ...]``
+buffer so the scan stays static).  That costs ``2 * M * mb`` activation
+buffers per device — negligible next to the per-stage weights this
+scheme exists to shard.  If it ever matters, shard the microbatch dim
+over ``data`` (supported below) before reaching for anything fancier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8: jax.shard_map, replication checking renamed check_vma
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(
+    n_pipe: int,
+    n_data: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A (data, pipe) mesh.  ``pipe`` innermost so stage hops ride ICI."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data * n_pipe > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_pipe} needs {n_data * n_pipe} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.array(devices[: n_data * n_pipe]).reshape(n_data, n_pipe)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def stack_params(params_list: Sequence[Any]) -> Any:
+    """Stack per-layer param pytrees into one tree with a leading layer dim.
+
+    This is the scan-over-layers layout (the same one flax's ``nn.scan``
+    produces); it is also exactly what the pipeline needs to shard stages.
+    """
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def _reshape_stages(stacked: Any, n_stages: int) -> Any:
+    """[L, ...] stacked layers -> [S, L//S, ...] stage blocks."""
+
+    def fold(x):
+        if x.shape[0] % n_stages:
+            raise ValueError(
+                f"{x.shape[0]} layers do not divide into {n_stages} stages"
+            )
+        return x.reshape(n_stages, x.shape[0] // n_stages, *x.shape[1:])
+
+    return jax.tree_util.tree_map(fold, stacked)
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_params: Any,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    num_microbatches: int,
+    shard_batch_over_data: bool = False,
+) -> jnp.ndarray:
+    """Run ``x`` through ``S`` pipeline stages on the ``pipe`` mesh axis.
+
+    Args:
+      stage_fn: ``(per_stage_params, activation) -> activation``; applied
+        by every stage to its resident microbatch each tick.  Must be
+        shape-preserving (classic homogeneous-stack pipelining).
+      stage_params: pytree whose leaves have leading dim ``S`` =
+        ``mesh.shape['pipe']``; leaf ``i`` holds stage ``i``'s params.
+      x: ``[B, ...]`` batch; ``B`` must divide into ``num_microbatches``.
+      mesh: a mesh containing a ``pipe`` axis (and optionally ``data``).
+      num_microbatches: M.  Bubble fraction (S-1)/(M+S-1).
+      shard_batch_over_data: shard the microbatch dim over ``data``
+        (DP x PP).  Requires ``mb % mesh.shape['data'] == 0``.
+
+    Returns ``[B, ...]`` outputs (replicated over ``pipe``).
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    batch = x.shape[0]
+    if batch % num_microbatches:
+        raise ValueError(f"batch {batch} not divisible by M={num_microbatches}")
+    mb = batch // num_microbatches
+    if shard_batch_over_data:
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        if mb % n_data:
+            raise ValueError(
+                f"microbatch size {mb} not divisible by data axis {n_data}"
+            )
+    xs = x.reshape(num_microbatches, mb, *x.shape[1:])
+
+    data_spec = DATA_AXIS if shard_batch_over_data else None
+    xs_spec = P(None, data_spec)
+    params_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), stage_params)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(params_spec, xs_spec),
+        out_specs=xs_spec,
+        # the output IS replicated over pipe (psum below) but flows through
+        # data-dependent wheres the replication checker cannot see through
+        check_rep=False,
+    )
+    def run(params_blk, xs_local):
+        # params_blk leaves: [1, layers_per_stage, ...] — this device's stage
+        params_here = jax.tree_util.tree_map(lambda p: p[0], params_blk)
+        idx = lax.axis_index(PIPE_AXIS)
+        m = xs_local.shape[0]
+
+        def tick(carry, t):
+            state, outs = carry
+            # stage 0 ingests microbatch t (clipped: late ticks re-read the
+            # last microbatch, whose recomputed output is never recorded)
+            feed = lax.dynamic_index_in_dim(
+                xs_local, jnp.clip(t, 0, m - 1), 0, keepdims=False
+            )
+            state = jnp.where(idx == 0, feed, state)
+            out = stage_fn(params_here, state)
+            # last stage records microbatch t-(S-1) once it has traversed
+            # every stage
+            o_idx = jnp.clip(t - (n_stages - 1), 0, m - 1)
+            record = jnp.logical_and(idx == n_stages - 1, t >= n_stages - 1)
+            cur = lax.dynamic_index_in_dim(outs, o_idx, 0, keepdims=False)
+            outs = lax.dynamic_update_index_in_dim(
+                outs, jnp.where(record, out, cur), o_idx, 0
+            )
+            # one hop along the ring; stage S-1 -> 0 wraps (its payload is
+            # overwritten by the stage-0 ingest next tick)
+            nxt = lax.ppermute(
+                out,
+                PIPE_AXIS,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)],
+            )
+            return (nxt, outs), None
+
+        init = (jnp.zeros_like(xs_local[0]), jnp.zeros_like(xs_local))
+        (_, outs), _ = lax.scan(
+            tick, init, jnp.arange(num_microbatches + n_stages - 1)
+        )
+        # outputs are valid on the last stage only; replicate over pipe so
+        # downstream (loss, heads) sees the full batch everywhere
+        outs = lax.psum(
+            jnp.where(idx == n_stages - 1, outs, jnp.zeros_like(outs)),
+            PIPE_AXIS,
+        )
+        return outs
+
+    out = run(stage_params, xs)
+    return out.reshape(batch, *out.shape[2:])
+
+
+def pipeline_layers(
+    apply_layer: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params: Any,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    num_microbatches: int,
+    shard_batch_over_data: bool = False,
+) -> jnp.ndarray:
+    """Pipeline a homogeneous layer stack.
+
+    ``stacked_params`` has leading dim L (``stack_params`` layout);
+    layers are split contiguously into ``S = mesh.shape['pipe']`` stage
+    blocks of ``L // S``, and each stage scans its block — so the full
+    program is scan(stages) o scan(layers-in-stage), all static.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    staged = _reshape_stages(stacked_params, n_stages)
+
+    def stage_fn(params_blk, h):
+        def body(carry, p):
+            return apply_layer(p, carry), None
+
+        h, _ = lax.scan(body, h, params_blk)
+        return h
+
+    return pipeline_apply(
+        stage_fn,
+        staged,
+        x,
+        mesh,
+        num_microbatches,
+        shard_batch_over_data=shard_batch_over_data,
+    )
