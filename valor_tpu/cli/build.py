@@ -273,6 +273,10 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     from valor_tpu.parallel.activations import set_sequence_sharding
 
     set_sequence_sharding(mesh if cfg.model.sequence_parallel else None)
+    from valor_tpu.ops.moe import set_expert_sharding
+
+    # EP rides the model axis; a no-op when MoE is off or model=1
+    set_expert_sharding(mesh if cfg.model.fusion_moe_experts > 0 else None)
 
     model = VALORModel(cfg.model)
     if isinstance(example_batches, dict) and example_batches and all(

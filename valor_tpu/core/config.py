@@ -96,6 +96,13 @@ class ModelConfig:
     fusion_heads: int = 12
     fusion_intermediate: int = 3072
     fusion_vocab: int = 30522
+    # Mixture-of-Experts fusion FFN (TPU-native extension; reference FFNs
+    # are dense).  >0 swaps every fusion_moe_every-th fusion layer's FFN
+    # for a top-k MoE with expert-parallel sharding (ops/moe.py)
+    fusion_moe_experts: int = 0
+    fusion_moe_top_k: int = 2
+    fusion_moe_every: int = 1
+    fusion_moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     audio_hidden: int = 768
     audio_layers: int = 12
     audio_heads: int = 12

@@ -50,6 +50,15 @@ class BertConfig:
     dropout: float = 0.1  # hidden/attention dropout (reference bert 0.1)
     has_cross_attn: bool = False
     cross_attn_type: Optional[str] = None  # va_concate|va_parallel|video_audio|audio_video
+    # Mixture-of-Experts FFN (TPU-native extension; the reference's FFNs
+    # are dense).  moe_experts > 0 swaps the FFN of every moe_every-th
+    # layer for ops.moe.MoEMlpBlock; the Switch aux loss is sown into the
+    # "moe" collection (retrieve with apply(..., mutable=["moe"]) — a
+    # no-op for callers that don't ask, so dense paths trace unchanged).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 1  # 1 = every layer, 2 = every other (GShard style)
 
 
 class BertEmbeddings(nn.Module):
@@ -120,9 +129,13 @@ class _ResidualAttn(nn.Module):
 class BertFusionLayer(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
+    layer_idx: int = 0
 
     def setup(self):
         c = self.cfg
+        self._use_moe = c.moe_experts > 0 and (
+            self.layer_idx % c.moe_every == c.moe_every - 1
+        )
         self.self_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="self_attn")
         if c.has_cross_attn:
             if c.cross_attn_type == "va_concate":
@@ -130,7 +143,19 @@ class BertFusionLayer(nn.Module):
             else:
                 self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_v")
                 self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_a")
-        self.mlp = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")
+        if self._use_moe:
+            from valor_tpu.ops.moe import MoEMlpBlock
+
+            self.mlp = MoEMlpBlock(
+                num_experts=c.moe_experts,
+                intermediate=c.intermediate,
+                top_k=c.moe_top_k,
+                capacity_factor=c.moe_capacity_factor,
+                dtype=self.dtype,
+                name="moe_mlp",
+            )
+        else:
+            self.mlp = MlpBlock(c.intermediate, "gelu", dtype=self.dtype, name="mlp")
         self.out_ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="out_ln")
 
     def compute_cross_kv(self, video_feat, audio_feat):
@@ -208,7 +233,14 @@ class BertFusionLayer(nn.Module):
                 raise ValueError(f"unknown cross_attn_type {t!r}")
         from valor_tpu.ops.layers import maybe_dropout
 
-        h = maybe_dropout(self, self.mlp(x), c.dropout)
+        if self._use_moe:
+            h, aux = self.mlp(x)
+            # no-op unless the caller passes mutable=["moe"]; dense paths
+            # and existing eval/train programs trace unchanged
+            self.sow("moe", "aux", aux)
+        else:
+            h = self.mlp(x)
+        h = maybe_dropout(self, h, c.dropout)
         return self.out_ln(x + h)
 
 
@@ -226,7 +258,8 @@ class BertFusionEncoder(nn.Module):
         if self.remat:
             layer_cls = remat_wrap(BertFusionLayer)
         self.layers = [
-            layer_cls(c, dtype=self.dtype, name=f"layer_{i}") for i in range(c.num_layers)
+            layer_cls(c, dtype=self.dtype, layer_idx=i, name=f"layer_{i}")
+            for i in range(c.num_layers)
         ]
 
     def embedding_table(self) -> jnp.ndarray:

@@ -60,7 +60,11 @@ MAX_FRAMES = 32  # frame/clip embedding rows (reference modeling.py:343-344)
 def dataclasses_replace_no_cross(bert_cfg: BertConfig) -> BertConfig:
     import dataclasses as _dc
 
-    return _dc.replace(bert_cfg, has_cross_attn=False, cross_attn_type=None)
+    # the standalone text encoder is always dense (the MoE knob targets the
+    # fusion stack's FFN capacity)
+    return _dc.replace(
+        bert_cfg, has_cross_attn=False, cross_attn_type=None, moe_experts=0
+    )
 
 
 def bcast_prompt(prompt: Optional[jnp.ndarray], batch: int) -> Optional[jnp.ndarray]:
@@ -187,6 +191,9 @@ class VALORModel(nn.Module):
             intermediate=c.fusion_intermediate,
             has_cross_attn=c.multimodal_use_cross_attn,
             cross_attn_type=c.cross_attn_type if c.multimodal_use_cross_attn else None,
+            moe_experts=c.fusion_moe_experts,
+            moe_top_k=c.fusion_moe_top_k,
+            moe_every=c.fusion_moe_every,
         )
         self.bert_cfg = bert_cfg
         self.multimodal_encoder = BertFusionEncoder(

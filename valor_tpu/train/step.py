@@ -47,9 +47,27 @@ def _cast_grads(grads, grad_dtype: Optional[str]):
     return jax.tree_util.tree_map(lambda g: g.astype(dt), grads)
 
 
+def _apply_losses(model, params, batch, task, rngs, moe_aux_weight: float):
+    """model.apply -> losses dict; collects the sown MoE load-balancing
+    aux (ops/moe.py) into the dict when the MoE fusion FFN is enabled."""
+    if moe_aux_weight:
+        losses, mut = model.apply(
+            {"params": params}, batch, task, True, True,
+            rngs=rngs, mutable=["moe"],
+        )
+        aux_leaves = jax.tree_util.tree_leaves(mut.get("moe", {}))
+        if aux_leaves:
+            aux = sum(jnp.asarray(a, jnp.float32) for a in aux_leaves)
+            losses = dict(losses, moe_aux=moe_aux_weight * aux)
+        return losses
+    return model.apply(
+        {"params": params}, batch, task, True, True, rngs=rngs
+    )
+
+
 def make_train_step(
     model, tx, donate: bool = True, with_grad_norm: bool = True,
-    grad_dtype: Optional[str] = None,
+    grad_dtype: Optional[str] = None, moe_aux_weight: float = 0.0,
 ):
     """Returns train_step(state, batch, rng, task) -> (state, metrics).
 
@@ -65,9 +83,9 @@ def make_train_step(
 
         def loss_fn(params):
             with train_mode():
-                losses = model.apply(
-                    {"params": params}, batch, task, True, True,
-                    rngs={"mask": mask_rng, "dropout": drop_rng},
+                losses = _apply_losses(
+                    model, params, batch, task,
+                    {"mask": mask_rng, "dropout": drop_rng}, moe_aux_weight,
                 )
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, losses
@@ -91,7 +109,8 @@ def make_train_step(
 
 
 def make_train_loop(
-    model, tx, n_inner: int, donate: bool = True, grad_dtype: Optional[str] = None
+    model, tx, n_inner: int, donate: bool = True,
+    grad_dtype: Optional[str] = None, moe_aux_weight: float = 0.0,
 ):
     """K train steps per jit call via lax.scan over a stacked batch.
 
@@ -108,9 +127,9 @@ def make_train_loop(
 
         def loss_fn(params):
             with train_mode():
-                losses = model.apply(
-                    {"params": params}, batch, task, True, True,
-                    rngs={"mask": mask_rng, "dropout": drop_rng},
+                losses = _apply_losses(
+                    model, params, batch, task,
+                    {"mask": mask_rng, "dropout": drop_rng}, moe_aux_weight,
                 )
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, losses

@@ -66,8 +66,13 @@ class Trainer:
             self.meta_loader = DevicePrefetcher(iter(meta_loader), put)
         self.validate_fn = validate_fn
         self.saver = saver
+        moe_aux_w = (
+            cfg.model.fusion_moe_aux_weight
+            if cfg.model.fusion_moe_experts > 0
+            else 0.0
+        )
         self.train_step = make_train_step(
-            model, tx, grad_dtype=cfg.train.grad_dtype
+            model, tx, grad_dtype=cfg.train.grad_dtype, moe_aux_weight=moe_aux_w
         )
         # fused multi-step path: groups consecutive same-task batches into
         # one lax.scan'd jit call (train/step.py make_train_loop)
@@ -76,7 +81,8 @@ class Trainer:
             from valor_tpu.train.step import make_train_loop
 
             self.train_loop = make_train_loop(
-                model, tx, self.inner_steps, grad_dtype=cfg.train.grad_dtype
+                model, tx, self.inner_steps, grad_dtype=cfg.train.grad_dtype,
+                moe_aux_weight=moe_aux_w,
             )
         self.meters: Dict[str, RunningMeter] = {}
         self.best: Dict[str, float] = {}
