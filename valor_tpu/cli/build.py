@@ -277,6 +277,14 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
 
     # EP rides the model axis; a no-op when MoE is off or model=1
     set_expert_sharding(mesh if cfg.model.fusion_moe_experts > 0 else None)
+    from valor_tpu.parallel.pipeline import set_pipeline
+
+    # PP rides the pipe axis (make_mesh(n_pipe=...)); the fusion encoder
+    # routes its layer stack through the GPipe program when engaged
+    set_pipeline(
+        mesh if cfg.model.fusion_pipeline_stages > 0 else None,
+        cfg.model.fusion_pipeline_microbatches,
+    )
 
     model = VALORModel(cfg.model)
     if isinstance(example_batches, dict) and example_batches and all(

@@ -198,13 +198,16 @@ def main(argv=None):
             }
 
     # device mesh: data-parallel over all chips (the reference's 8-GPU DDP,
-    # train_utils.py:232) x optional tensor-parallel `model` axis
+    # train_utils.py:232) x optional tensor-parallel `model` axis x optional
+    # `pipe` axis for fusion pipeline parallelism (--fusion_pipeline_stages)
     from valor_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(n_model=max(cfg.train.model_shards, 1))
+    n_pipe = max(cfg.model.fusion_pipeline_stages, 1)
+    mesh = make_mesh(n_model=max(cfg.train.model_shards, 1), n_pipe=n_pipe)
     LOGGER.info(
-        f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']} "
-        f"({jax.process_count()} hosts)"
+        f"mesh: data={mesh.shape['data']} x model={mesh.shape['model']}"
+        + (f" x pipe={n_pipe}" if n_pipe > 1 else "")
+        + f" ({jax.process_count()} hosts)"
     )
     model, tx, state = build_model_and_state(cfg, example_batches, mesh=mesh)
 

@@ -102,7 +102,19 @@ class ModelConfig:
     fusion_moe_experts: int = 0
     fusion_moe_top_k: int = 2
     fusion_moe_every: int = 1
+    fusion_moe_capacity_factor: float = 1.25  # expert slots = ceil(k*S*c/E)
     fusion_moe_aux_weight: float = 0.01  # Switch load-balance loss weight
+    # GPipe pipeline parallelism for the fusion stack (TPU-native
+    # extension; the reference is DP-only, SURVEY.md §2.3).  >0 shards
+    # the fusion layers into that many stages over the mesh `pipe` axis
+    # (parallel/pipeline.py): the layer loop becomes one
+    # shard_map+ppermute+scan program, composed with the data axis.
+    # Requires fusion_layers % stages == 0 and a mesh built with
+    # make_mesh(n_pipe=stages); incompatible with fusion_moe_experts.
+    fusion_pipeline_stages: int = 0
+    # microbatch count M (bubble (S-1)/(M+S-1)); 0 = auto (largest
+    # divisor of the batch <= 2*stages)
+    fusion_pipeline_microbatches: int = 0
     audio_hidden: int = 768
     audio_layers: int = 12
     audio_heads: int = 12

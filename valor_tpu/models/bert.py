@@ -59,6 +59,13 @@ class BertConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_every: int = 1  # 1 = every layer, 2 = every other (GShard style)
+    # GPipe pipeline parallelism (TPU-native extension, parallel/pipeline.py):
+    # >0 routes the layer stack through a pipelined shard_map+ppermute+scan
+    # program over the mesh `pipe` axis installed via set_pipeline().  The
+    # param tree is UNCHANGED (per-layer modules; stage blocks are stacked at
+    # trace time and sliced by shard_map), so checkpoints/converters/TP specs
+    # are layout-compatible with the sequential path.
+    pipeline_stages: int = 0
 
 
 class BertEmbeddings(nn.Module):
@@ -253,6 +260,17 @@ class BertFusionEncoder(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.pipeline_stages > 0 and c.moe_experts > 0:
+            # a MoE layer couples tokens ACROSS the batch (expert capacity
+            # is claimed batch-wide), so microbatched pipelining would
+            # change routing semantics; the two knobs also target the same
+            # scaling budget.  Refuse loudly instead of silently diverging.
+            raise ValueError("pipeline_stages and moe_experts are mutually exclusive")
+        if c.pipeline_stages > 0 and c.num_layers % c.pipeline_stages:
+            raise ValueError(
+                f"{c.num_layers} fusion layers do not divide into "
+                f"{c.pipeline_stages} pipeline stages"
+            )
         self.embeddings = BertEmbeddings(c, dtype=self.dtype, name="embeddings")
         layer_cls = BertFusionLayer
         if self.remat:
@@ -371,6 +389,11 @@ class BertFusionEncoder(nn.Module):
         cross_v = video_feat.astype(self.dtype) if (c.has_cross_attn and video_feat is not None) else None
         cross_a = audio_feat.astype(self.dtype) if (c.has_cross_attn and audio_feat is not None) else None
 
+        if cross_kv_list is None:
+            pipelined = self._maybe_pipeline(x, bias, cross_v, cross_a)
+            if pipelined is not None:
+                return pipelined
+
         # optional sequence-parallel sharding of the residual stream
         # (no-op unless ModelConfig.sequence_parallel installed a mesh)
         from valor_tpu.parallel.activations import sequence_sharded
@@ -380,6 +403,88 @@ class BertFusionEncoder(nn.Module):
             kv = cross_kv_list[i] if cross_kv_list is not None else None
             x = sequence_sharded(layer(x, bias, cross_v, cross_a, cross_kv=kv))
         return x
+
+    def _maybe_pipeline(self, x, bias, cross_v, cross_a):
+        """Route the layer stack through the GPipe program when the
+        production pipeline knob is engaged; None = use the sequential path.
+
+        The stored param tree stays per-layer (``layer_i/...``) — stage
+        blocks are stacked at trace time and shard_map slices each device's
+        stage, so checkpoints, converters, and the TP specs are untouched.
+        Falls back silently on shapes the schedule cannot microbatch
+        (decode buffers, odd eval batches), mirroring the SP/EP no-op
+        contract (parallel/activations.py, ops/moe.py).
+        """
+        c = self.cfg
+        if c.pipeline_stages <= 0 or self.is_initializing():
+            return None
+        from valor_tpu.parallel.pipeline import (
+            DATA_AXIS,
+            PIPE_AXIS,
+            _note_applied,
+            get_pipeline_mesh,
+            pipeline_layers,
+            pipeline_microbatches,
+        )
+
+        mesh = get_pipeline_mesh()
+        if mesh is None or mesh.shape[PIPE_AXIS] != c.pipeline_stages:
+            return None
+        batch = x.shape[0]
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        m = pipeline_microbatches(batch, c.pipeline_stages, n_data)
+        if batch % m or (batch // m) % n_data:
+            return None
+
+        from valor_tpu.ops.layers import is_deterministic
+
+        variables = self.variables["params"]
+        trees = [variables[f"layer_{i}"] for i in range(c.num_layers)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+        # per-batch side inputs ride the extras lane; batch-independent
+        # bias terms (the [1,1,L,L] structural mask) close over the stage fn
+        bias_terms = (
+            tuple(bias)
+            if isinstance(bias, (tuple, list))
+            else ((bias,) if bias is not None else ())
+        )
+        batched_bias = tuple(t for t in bias_terms if t.shape[0] == batch)
+        static_bias = tuple(t for t in bias_terms if t.shape[0] != batch)
+        extras = list(batched_bias)
+        has_v, has_a = cross_v is not None, cross_a is not None
+        if has_v:
+            extras.append(cross_v)
+        if has_a:
+            extras.append(cross_a)
+
+        needs_rng = c.dropout > 0.0 and not is_deterministic()
+        rng = self.make_rng("dropout") if needs_rng else None
+        n_bias = len(batched_bias)
+        template = BertFusionLayer(c, dtype=self.dtype, parent=None)
+
+        def apply_layer(p, h, ex, key):
+            terms = tuple(ex[:n_bias]) + static_bias
+            vv = ex[n_bias] if has_v else None
+            aa = ex[n_bias + int(has_v)] if has_a else None
+            rngs = {"dropout": key} if key is not None else {}
+            return template.apply(
+                {"params": p}, h, terms or None, vv, aa, rngs=rngs
+            )
+
+        if self.remat:
+            apply_layer = jax.checkpoint(apply_layer)
+        _note_applied()
+        return pipeline_layers(
+            apply_layer,
+            stacked,
+            x,
+            mesh,
+            m,
+            shard_batch_over_data=mesh.shape.get(DATA_AXIS, 1) > 1,
+            extras=tuple(extras),
+            rng=rng,
+        )
 
 
 class BertPredictionHead(nn.Module):

@@ -194,6 +194,8 @@ class VALORModel(nn.Module):
             moe_experts=c.fusion_moe_experts,
             moe_top_k=c.fusion_moe_top_k,
             moe_every=c.fusion_moe_every,
+            moe_capacity_factor=c.fusion_moe_capacity_factor,
+            pipeline_stages=c.fusion_pipeline_stages,
         )
         self.bert_cfg = bert_cfg
         self.multimodal_encoder = BertFusionEncoder(

@@ -150,11 +150,16 @@ class MoEMlpBlock(nn.Module):
         dispatch = jnp.einsum(
             "kgse,kgsc->gsec", keep.astype(x.dtype), slot_one
         )
-        # combine: dispatch weighted by the (renormalised) top-k gates
+        # combine: dispatch weighted by the top-k-normalised gates.
+        # GShard/Switch semantics: normalise by the PRE-drop top-k gate
+        # sum, so a capacity-dropped choice simply contributes zero and
+        # its mass passes through the residual — renormalising over only
+        # the surviving choices would inflate the kept expert's weight to
+        # 1.0 under congestion and change training dynamics.
         picked = jnp.einsum("kgse,gse->kgs", sel, gates)  # gate of choice k
         kept_gate = picked * jnp.einsum("kgse->kgs", keep)  # zero if dropped
-        denom = jnp.maximum(jnp.sum(kept_gate, axis=0), 1e-9)  # [G,S]
-        weight = kept_gate / denom  # renormalise over surviving choices
+        denom = jnp.maximum(jnp.sum(picked, axis=0), 1e-9)  # [G,S] pre-drop
+        weight = kept_gate / denom
         combine = jnp.einsum(
             "kgse,kgsc,kgs->gsec", keep, slot_one.astype(keep.dtype), weight
         ).astype(x.dtype)

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 _warned_replicated: set = set()  # one warning per batch key (shard_batch)
 
@@ -34,13 +35,23 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_pipe: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model[, pipe]) mesh over the available devices.
+
+    With ``n_pipe > 1`` the mesh gains a third, innermost ``pipe`` axis
+    (innermost so GPipe stage hops are nearest-neighbour ICI transfers,
+    parallel/pipeline.py); all (data, model) shardings work unchanged on
+    the 3-axis mesh — unmentioned axes replicate.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
-        devices = devices[: n_data * n_model]
+        n_data = len(devices) // (n_model * n_pipe)
+    if n_data * n_model * n_pipe != len(devices):
+        devices = devices[: n_data * n_model * n_pipe]
+    if n_pipe > 1:
+        arr = np.array(devices).reshape(n_data, n_model, n_pipe)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

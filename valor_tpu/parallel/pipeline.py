@@ -66,6 +66,54 @@ except ImportError:  # pragma: no cover
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
 
+# [mesh | None, num_microbatches, trace-time application counter] — the
+# production install switch (same pattern as parallel/activations.py /
+# ops/moe.py): cli/build.py installs the mesh when
+# ModelConfig.fusion_pipeline_stages > 0 and the fusion encoder routes its
+# layer stack through pipeline_layers; everywhere else (single chip, eval,
+# decode) the model traces unchanged.
+_STATE: list = [None, 0, 0]
+
+
+def set_pipeline(mesh: Optional[Mesh], num_microbatches: int = 0) -> None:
+    """Install (or clear, with None) the mesh used for pipeline routing.
+
+    ``num_microbatches`` = 0 means auto: the encoder picks the largest
+    M <= 2 * n_stages that divides its batch (bubble <= (S-1)/(3S-1))."""
+    if mesh is not None and PIPE_AXIS not in mesh.shape:
+        raise ValueError(f"pipeline mesh needs a {PIPE_AXIS!r} axis, has {mesh.axis_names}")
+    _STATE[0] = mesh
+    _STATE[1] = num_microbatches
+    _STATE[2] = 0
+
+
+def get_pipeline_mesh() -> Optional[Mesh]:
+    mesh = _STATE[0]
+    if mesh is not None and mesh.shape.get(PIPE_AXIS, 1) > 1:
+        return mesh
+    return None
+
+
+def pipeline_microbatches(batch: int, n_stages: int, n_data: int = 1) -> int:
+    """Configured M, or the largest M <= 2*n_stages with ``batch % M == 0``
+    and the microbatch still divisible by the data axis (DP x PP)."""
+    if _STATE[1]:
+        return _STATE[1]
+    m = 1
+    for cand in range(1, min(batch, 2 * n_stages) + 1):
+        if batch % cand == 0 and (batch // cand) % n_data == 0:
+            m = cand
+    return m
+
+
+def pipeline_applied() -> int:
+    """Trace-time engagement counter (asserted by tests and the dryrun)."""
+    return _STATE[2]
+
+
+def _note_applied() -> None:
+    _STATE[2] += 1
+
 
 def make_pipe_mesh(
     n_pipe: int,
@@ -106,19 +154,25 @@ def _reshape_stages(stacked: Any, n_stages: int) -> Any:
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[..., jnp.ndarray],
     stage_params: Any,
     x: jnp.ndarray,
     mesh: Mesh,
     num_microbatches: int,
     shard_batch_over_data: bool = False,
+    extras: Any = None,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Run ``x`` through ``S`` pipeline stages on the ``pipe`` mesh axis.
 
     Args:
       stage_fn: ``(per_stage_params, activation) -> activation``; applied
         by every stage to its resident microbatch each tick.  Must be
-        shape-preserving (classic homogeneous-stack pipelining).
+        shape-preserving (classic homogeneous-stack pipelining).  When
+        ``extras``/``rng`` are given the signature extends to
+        ``(params, activation, extras_mb, key)`` — ``extras_mb`` is the
+        resident microbatch's slice of every extras leaf and ``key`` a
+        per-(tick, stage) folded rng (None when ``rng`` is None).
       stage_params: pytree whose leaves have leading dim ``S`` =
         ``mesh.shape['pipe']``; leaf ``i`` holds stage ``i``'s params.
       x: ``[B, ...]`` batch; ``B`` must divide into ``num_microbatches``.
@@ -126,6 +180,12 @@ def pipeline_apply(
       num_microbatches: M.  Bubble fraction (S-1)/(M+S-1).
       shard_batch_over_data: shard the microbatch dim over ``data``
         (DP x PP).  Requires ``mb % mesh.shape['data'] == 0``.
+      extras: optional pytree of per-batch tensors ``[B, ...]`` that ride
+        along with the activations (attention bias, cross-attention
+        memories).  Microbatched like ``x``; every stage reads the slice
+        belonging to its RESIDENT microbatch (index ``t - stage``), so
+        non-shape-preserving side inputs compose with the schedule.
+      rng: optional base dropout key.
 
     Returns ``[B, ...]`` outputs (replicated over ``pipe``).
     """
@@ -141,21 +201,33 @@ def pipeline_apply(
                 f"microbatch size {mb} not divisible by data axis {n_data}"
             )
     xs = x.reshape(num_microbatches, mb, *x.shape[1:])
+    has_extras = extras is not None and bool(jax.tree_util.tree_leaves(extras))
+    exs = (
+        jax.tree_util.tree_map(
+            lambda e: e.reshape(num_microbatches, mb, *e.shape[1:]), extras
+        )
+        if has_extras
+        else ()
+    )
+    wants_ctx = has_extras or rng is not None
 
     data_spec = DATA_AXIS if shard_batch_over_data else None
     xs_spec = P(None, data_spec)
     params_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), stage_params)
+    exs_spec = (
+        jax.tree_util.tree_map(lambda _: xs_spec, exs) if has_extras else ()
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(params_spec, xs_spec),
+        in_specs=(params_spec, xs_spec, exs_spec, P()),
         out_specs=xs_spec,
         # the output IS replicated over pipe (psum below) but flows through
         # data-dependent wheres the replication checker cannot see through
         check_rep=False,
     )
-    def run(params_blk, xs_local):
+    def run(params_blk, xs_local, exs_local, rng_local):
         # params_blk leaves: [1, layers_per_stage, ...] — this device's stage
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_blk)
         idx = lax.axis_index(PIPE_AXIS)
@@ -169,7 +241,29 @@ def pipeline_apply(
                 xs_local, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
             state = jnp.where(idx == 0, feed, state)
-            out = stage_fn(params_here, state)
+            if wants_ctx:
+                # the microbatch resident at this stage is t - idx (what
+                # stage 0 ingested idx ticks ago); its side inputs come
+                # from the replicated extras buffer
+                r_idx = jnp.clip(t - idx, 0, m - 1)
+                ex_mb = (
+                    jax.tree_util.tree_map(
+                        lambda e: lax.dynamic_index_in_dim(
+                            e, r_idx, 0, keepdims=False
+                        ),
+                        exs_local,
+                    )
+                    if has_extras
+                    else None
+                )
+                key = (
+                    jax.random.fold_in(rng_local, t * n_stages + idx)
+                    if rng is not None
+                    else None
+                )
+                out = stage_fn(params_here, state, ex_mb, key)
+            else:
+                out = stage_fn(params_here, state)
             # last stage records microbatch t-(S-1) once it has traversed
             # every stage
             o_idx = jnp.clip(t - (n_stages - 1), 0, m - 1)
@@ -199,17 +293,24 @@ def pipeline_apply(
         )
         return outs
 
-    out = run(stage_params, xs)
+    out = run(
+        stage_params,
+        xs,
+        exs,
+        rng if rng is not None else jax.random.PRNGKey(0),
+    )
     return out.reshape(batch, *out.shape[2:])
 
 
 def pipeline_layers(
-    apply_layer: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    apply_layer: Callable[..., jnp.ndarray],
     stacked_params: Any,
     x: jnp.ndarray,
     mesh: Mesh,
     num_microbatches: int,
     shard_batch_over_data: bool = False,
+    extras: Any = None,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Pipeline a homogeneous layer stack.
 
@@ -217,22 +318,53 @@ def pipeline_layers(
     layers are split contiguously into ``S = mesh.shape['pipe']`` stage
     blocks of ``L // S``, and each stage scans its block — so the full
     program is scan(stages) o scan(layers-in-stage), all static.
+
+    With ``extras``/``rng``, ``apply_layer`` is called as
+    ``(layer_params, h, extras_mb, key)`` where ``key`` is additionally
+    folded per layer-within-stage (None when ``rng`` is None).
     """
     n_stages = mesh.shape[PIPE_AXIS]
     staged = _reshape_stages(stacked_params, n_stages)
+    wants_ctx = (
+        extras is not None and bool(jax.tree_util.tree_leaves(extras))
+    ) or rng is not None
 
-    def stage_fn(params_blk, h):
-        def body(carry, p):
-            return apply_layer(p, carry), None
+    if not wants_ctx:
 
-        h, _ = lax.scan(body, h, params_blk)
+        def stage_fn(params_blk, h):
+            def body(carry, p):
+                return apply_layer(p, carry), None
+
+            h, _ = lax.scan(body, h, params_blk)
+            return h
+
+        return pipeline_apply(
+            stage_fn,
+            staged,
+            x,
+            mesh,
+            num_microbatches,
+            shard_batch_over_data=shard_batch_over_data,
+        )
+
+    def stage_fn_ctx(params_blk, h, ex_mb, key):
+        n_layers = jax.tree_util.tree_leaves(params_blk)[0].shape[0]
+
+        def body(carry, inp):
+            p, j = inp
+            k = jax.random.fold_in(key, j) if key is not None else None
+            return apply_layer(p, carry, ex_mb, k), None
+
+        h, _ = lax.scan(body, h, (params_blk, jnp.arange(n_layers)))
         return h
 
     return pipeline_apply(
-        stage_fn,
+        stage_fn_ctx,
         staged,
         x,
         mesh,
         num_microbatches,
         shard_batch_over_data=shard_batch_over_data,
+        extras=extras,
+        rng=rng,
     )

@@ -57,7 +57,12 @@ def _apply_losses(model, params, batch, task, rngs, moe_aux_weight: float):
         )
         aux_leaves = jax.tree_util.tree_leaves(mut.get("moe", {}))
         if aux_leaves:
-            aux = sum(jnp.asarray(a, jnp.float32) for a in aux_leaves)
+            # mean over MoE layers, not sum: keeps the effective
+            # load-balance strength equal to fusion_moe_aux_weight per
+            # layer regardless of fusion_moe_every / num_layers
+            aux = sum(jnp.asarray(a, jnp.float32) for a in aux_leaves) / len(
+                aux_leaves
+            )
             losses = dict(losses, moe_aux=moe_aux_weight * aux)
         return losses
     return model.apply(
