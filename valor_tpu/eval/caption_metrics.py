@@ -216,10 +216,21 @@ def rouge_l(hyps: List[List[str]], refs_list: List[List[List[str]]], beta: float
 
 
 def caption_eval(
-    hyps: Dict[str, str], refs: Dict[str, List[str]]
+    hyps: Dict[str, str], refs: Dict[str, List[str]], tokenize: bool = True
 ) -> Dict[str, float]:
     """COCOEvalCap-style report over {id: sentence} vs {id: [refs]}
-    (reference: test.py:781-788)."""
+    (reference: test.py:781-788).
+
+    ``tokenize=True`` (default) first pipes hypotheses AND references
+    through the PTB normalization (eval/ptb.py) exactly as the reference
+    does before every caption score (cococaption/pycocoevalcap/eval.py:40)
+    — the leaderboard convention on punctuation-bearing corpora.  Set
+    False for corpora that are already PTB-normalized."""
+    if tokenize:
+        from valor_tpu.eval.ptb import ptb_normalize
+
+        hyps = {k: ptb_normalize(v) for k, v in hyps.items()}
+        refs = {k: [ptb_normalize(s) for s in v] for k, v in refs.items()}
     ids = sorted(hyps)
     h = [hyps[i].split() for i in ids]
     r = [[s.split() for s in refs[i]] for i in ids]
