@@ -148,6 +148,11 @@ class ModelConfig:
     # likewise keeps these tensors in half precision.  Only applied when
     # `dtype` itself is half precision; set 'float32' to opt out.
     attention_logits_dtype: str = "bfloat16"
+    # dtype of the gelu backward stash ('none' = AD saves the compute-dtype
+    # pre-activation).  'float8_e4m3fn' halves the fc1 pre-activation
+    # residual traffic — forward values are BIT-IDENTICAL (only gelu'(x)
+    # in the backward sees the quantisation; ops/layers.py gelu_exact).
+    gelu_stash_dtype: str = "none"
     # Split input pipeline (host decode -> device finish).  Both exist
     # because TPU-VM hosts are core-starved relative to the chip
     # (PERF_NOTES.md round-2 data campaign):

@@ -30,7 +30,16 @@ NEG_INF = -1e4  # reference uses (1-mask)*-10000 (model/bert.py:803)
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """erf-based gelu (reference: model/bert.py:52-57 / transformer.py:32-38)."""
+    """erf-based gelu (reference: model/bert.py:52-57 / transformer.py:32-38).
+
+    With a gelu stash dtype installed (set_gelu_stash_dtype) the backward
+    reads a float8 copy of the pre-activation instead of the compute-dtype
+    one AD would save; forward values are bit-identical either way."""
+    if _GELU_STASH_DTYPE[0] is not None and x.dtype in (
+        jnp.bfloat16,
+        jnp.float16,
+    ):
+        return _gelu_stashed(x, _GELU_STASH_DTYPE[0])
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -153,7 +162,10 @@ _REMAT_POLICY = [None]  # trace-time module-level switch
 
 # trace-time dtype for the materialised attention logits (None = fp32).
 # See dot_product_attention; set_scores_dtype("bfloat16") halves the
-# [B,H,Q,K] intermediate's HBM traffic on bf16 models.
+# [B,H,Q,K] intermediate's HBM traffic on bf16 models; the float8 types
+# ("float8_e4m3fn"/"float8_e5m2") quarter it (scores are clamped to the
+# type's finite range first — the NEG_INF mask value saturates, and
+# exp(saturated) == exp(NEG_INF) == 0.0 in the fp32 softmax).
 _SCORES_DTYPE = [None]
 
 
@@ -161,6 +173,46 @@ def set_scores_dtype(name) -> None:
     import jax.numpy as _jnp
 
     _SCORES_DTYPE[0] = None if not name or name == "float32" else _jnp.dtype(name)
+
+
+# trace-time dtype for the gelu backward stash (None = let AD save the
+# pre-activation in compute dtype).  The fc1 pre-activations [.., 4C] are
+# among the largest *elementwise-consumed* residuals of the train step
+# (rank_hbm, PERF_NOTES round-3 ranking); storing them float8 halves that
+# traffic with NO change to the forward values — only gelu'(x) in the
+# backward sees the quantisation, and the f8 upcast fuses into the
+# elementwise dgelu (unlike matmul-operand residuals, which would need a
+# materialised upcast and gain nothing on TPU).
+_GELU_STASH_DTYPE = [None]
+
+
+def set_gelu_stash_dtype(name) -> None:
+    import jax.numpy as _jnp
+
+    _GELU_STASH_DTYPE[0] = None if not name or name == "none" else _jnp.dtype(name)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _gelu_stashed(x: jnp.ndarray, stash_dtype) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_stashed_fwd(x, stash_dtype):
+    return jax.nn.gelu(x, approximate=False), x.astype(stash_dtype)
+
+
+def _gelu_stashed_bwd(stash_dtype, res, g):
+    # gelu'(x) = Phi(x) + x * phi(x), computed fp32 from the f8 stash
+    x = res.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+    pdf = jnp.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+    return ((g.astype(jnp.float32) * (cdf + x * pdf)).astype(g.dtype),)
+
+
+_gelu_stashed.defvjp(_gelu_stashed_fwd, _gelu_stashed_bwd)
 
 
 def set_remat_policy(name) -> None:
@@ -220,8 +272,15 @@ def dot_product_attention(
         # store the [B,H,Q,K] logits in bf16 (the matmul epilogue casts,
         # the softmax kernel upcasts in-register): halves the largest
         # intermediate's HBM traffic.  The reference's apex-O2 fp16 mode
-        # keeps these tensors in HALF precision throughout.
-        scores = scores.astype(_SCORES_DTYPE[0])
+        # keeps these tensors in HALF precision throughout.  float8 types
+        # quarter it; clamp to the finite range first so the NEG_INF mask
+        # value saturates instead of overflowing to NaN (e4m3fn has no
+        # inf) — softmax(clamped NEG) is still exactly 0.0 in fp32.
+        sdt = _SCORES_DTYPE[0]
+        if jnp.finfo(sdt).bits == 8:
+            fmax = float(jnp.finfo(sdt).max)
+            scores = jnp.clip(scores, -fmax, fmax)
+        scores = scores.astype(sdt)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     else:
         probs = jax.nn.softmax(scores, axis=-1)
