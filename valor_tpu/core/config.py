@@ -103,6 +103,13 @@ class ModelConfig:
     fusion_moe_top_k: int = 2
     fusion_moe_every: int = 1
     fusion_moe_capacity_factor: float = 1.25  # expert slots = ceil(k*S*c/E)
+    # grouped-query CROSS-attention in the fusion encoder: >0 projects the
+    # per-layer media K/V to this many heads (must divide fusion_heads),
+    # each serving a group of query heads.  Cuts cross-attn K/V activation
+    # bytes, their backward residuals, and the decode cross-KV cache by
+    # heads/kv_heads (ops/layers.py _grouped_attention).  0 = full
+    # multi-head (reference parity).
+    fusion_cross_attn_kv_heads: int = 0
     fusion_moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     # GPipe pipeline parallelism for the fusion stack (TPU-native
     # extension; the reference is DP-only, SURVEY.md §2.3).  >0 shards

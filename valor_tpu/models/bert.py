@@ -59,6 +59,12 @@ class BertConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_every: int = 1  # 1 = every layer, 2 = every other (GShard style)
+    # grouped-query cross-attention (TPU-native extension): >0 projects
+    # the per-layer media K/V to this many heads (< num_heads), each
+    # serving a group of query heads (ops/layers.py _grouped_attention).
+    # Shrinks the cross-attn K/V activations, their VJP residuals, and
+    # the decode-time cross-KV cache by num_heads/kv_heads.
+    cross_attn_kv_heads: int = 0
     # GPipe pipeline parallelism (TPU-native extension, parallel/pipeline.py):
     # >0 routes the layer stack through a pipelined shard_map+ppermute+scan
     # program over the mesh `pipe` axis installed via set_pipeline().  The
@@ -118,10 +124,15 @@ class _ResidualAttn(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
+    kv_heads: int = 0  # 0 = full multi-head; <num_heads = GQA
 
     def setup(self):
         self.attn = MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, dropout=self.dropout, name="attn"
+            self.num_heads,
+            dtype=self.dtype,
+            dropout=self.dropout,
+            kv_heads=self.kv_heads,
+            name="attn",
         )
         self.ln = LayerNorm(eps=1e-12, dtype=self.dtype, name="ln")
 
@@ -145,11 +156,16 @@ class BertFusionLayer(nn.Module):
         )
         self.self_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="self_attn")
         if c.has_cross_attn:
+            kvh = c.cross_attn_kv_heads
+            if kvh and c.num_heads % kvh:
+                raise ValueError(
+                    f"{c.num_heads} heads not divisible by {kvh} kv heads"
+                )
             if c.cross_attn_type == "va_concate":
-                self.cross_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn")
+                self.cross_attn = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, kv_heads=kvh, name="cross_attn")
             else:
-                self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_v")
-                self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, name="cross_attn_a")
+                self.cross_attn_v = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, kv_heads=kvh, name="cross_attn_v")
+                self.cross_attn_a = _ResidualAttn(c.num_heads, dtype=self.dtype, dropout=c.dropout, kv_heads=kvh, name="cross_attn_a")
         if self._use_moe:
             from valor_tpu.ops.moe import MoEMlpBlock
 

@@ -258,6 +258,12 @@ def dot_product_attention(
     (SURVEY.md §5 long-context: seq <= ~1.7k).
     """
     depth = q.shape[-1]
+    if k.shape[1] != q.shape[1]:
+        # grouped-query attention: fewer K/V heads than Q heads (cross-attn
+        # K/V narrowing — round-4 activation-bytes rung).  The einsum
+        # broadcasts each K/V head over its query group; K/V are NEVER
+        # materialised at full head count.
+        return _grouped_attention(q, k, v, bias, dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(depth)
     if bias is not None:
@@ -286,6 +292,42 @@ def dot_product_attention(
         probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
     return out
+
+
+def _grouped_attention(
+    q: jnp.ndarray,  # [B, H, Q, D]
+    k: jnp.ndarray,  # [B, Hk, K, D], Hk divides H
+    v: jnp.ndarray,  # [B, Hk, K, D]
+    bias: Optional[jnp.ndarray],
+    dtype: Dtype,
+) -> jnp.ndarray:
+    """GQA inner loop: queries reshaped [B, Hk, H/Hk, Q, D] so each K/V
+    head serves its query group via einsum broadcasting (no repeat)."""
+    b, h, qlen, depth = q.shape
+    hk = k.shape[1]
+    assert h % hk == 0, f"{h} query heads not divisible by {hk} kv heads"
+    qg = q.reshape(b, hk, h // hk, qlen, depth)
+    scores = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = scores / math.sqrt(depth)
+    if bias is not None:
+        for term in bias if isinstance(bias, (tuple, list)) else (bias,):
+            # [B|1, 1, Q|1, K] -> [B|1, 1, 1, Q|1, K]: broadcast over the
+            # kv-head and group dims (per-head bias is unsupported here)
+            assert term.shape[1] == 1, "GQA bias must be head-broadcast"
+            scores = scores + term[:, :, None].astype(jnp.float32)
+    if _SCORES_DTYPE[0] is not None and dtype != jnp.float32:
+        sdt = _SCORES_DTYPE[0]
+        if jnp.finfo(sdt).bits == 8:
+            fmax = float(jnp.finfo(sdt).max)
+            scores = jnp.clip(scores, -fmax, fmax)
+        scores = scores.astype(sdt)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(dtype), v)
+    return out.reshape(b, h, qlen, depth)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -317,6 +359,33 @@ class _LazyDense(nn.Module):
         return y
 
 
+class _KVDense(nn.Module):
+    """K/V projection sized for ``kv_heads`` of the attention's head_dim.
+
+    With kv_heads == num_heads this is exactly _LazyDense (same param
+    names and shapes — checkpoint-compatible); with fewer KV heads the
+    kernel is (C, kv_heads * head_dim)."""
+
+    features: int = 0  # full attention width (0 -> infer from input)
+    num_heads: int = 1
+    kv_heads: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        full = self.features or x.shape[-1]
+        feats = full // self.num_heads * self.kv_heads
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=0.02),
+            (x.shape[-1], feats),
+            jnp.float32,
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
+        return y + bias.astype(self.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention with optional additive bias and KV cache.
 
@@ -332,14 +401,25 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     dropout: float = 0.0
     features: int = 0  # 0 -> infer from first input
+    kv_heads: int = 0  # 0 -> num_heads; <num_heads = grouped-query (GQA)
     out_kernel_init: Callable = nn.initializers.normal(stddev=0.02)
 
     def setup(self):
         feats = self.features
-        # setup-style so K/V projection is reusable for cache precompute
+        # setup-style so K/V projection is reusable for cache precompute.
+        # With kv_heads < num_heads the K/V projections are narrower
+        # (kv_heads/num_heads of the width) and each K/V head serves a
+        # group of query heads (_grouped_attention) — a TPU-native
+        # activation/KV-cache-bytes lever the reference has no analogue
+        # for (its attention is always full multi-head, model/bert.py:244).
+        self._kv_heads = self.kv_heads or self.num_heads
         self.query = _LazyDense(feats, dtype=self.dtype, name="query")
-        self.key = _LazyDense(feats, dtype=self.dtype, name="key")
-        self.value = _LazyDense(feats, dtype=self.dtype, name="value")
+        self.key = _KVDense(
+            feats, self.num_heads, self._kv_heads, dtype=self.dtype, name="key"
+        )
+        self.value = _KVDense(
+            feats, self.num_heads, self._kv_heads, dtype=self.dtype, name="value"
+        )
         self.out = _LazyDense(
             feats, dtype=self.dtype, kernel_init=self.out_kernel_init, name="out"
         )
@@ -360,8 +440,8 @@ class MultiHeadAttention(nn.Module):
         # win-or-delete rule; see PERF_NOTES.md round-3 campaign.
         qh = split_heads(self.query(q_in), self.num_heads)
         if kv_in is not None:
-            kh = split_heads(self.key(kv_in), self.num_heads)
-            vh = split_heads(self.value(kv_in), self.num_heads)
+            kh = split_heads(self.key(kv_in), self._kv_heads)
+            vh = split_heads(self.value(kv_in), self._kv_heads)
             if extra_kv is not None:
                 ek, ev = extra_kv  # [B, H, E, D] pre-split cached keys/values
                 kh = jnp.concatenate([kh, ek.astype(kh.dtype)], axis=2)
@@ -382,8 +462,8 @@ class MultiHeadAttention(nn.Module):
     def compute_kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Project and split K/V for caching (no attention)."""
         return (
-            split_heads(self.key(kv_in), self.num_heads),
-            split_heads(self.value(kv_in), self.num_heads),
+            split_heads(self.key(kv_in), self._kv_heads),
+            split_heads(self.value(kv_in), self._kv_heads),
         )
 
 
