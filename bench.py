@@ -284,10 +284,22 @@ def main(report: bool = True):
         # production default
         jax.config.update("jax_default_prng_impl", "rbg")
     if os.environ.get("BENCH_SCORES_BF16", "1") != "0":
-        # production default (ModelConfig.attention_logits_dtype)
+        # production default (ModelConfig.attention_logits_dtype);
+        # BENCH_SCORES_DTYPE overrides (e.g. float8_e4m3fn — round-4
+        # activation-bytes rung, ops/layers.py)
         from valor_tpu.ops.layers import set_scores_dtype
 
-        set_scores_dtype("bfloat16")
+        set_scores_dtype(os.environ.get("BENCH_SCORES_DTYPE", "bfloat16"))
+    if os.environ.get("BENCH_GELU_STASH"):
+        # float8 gelu backward stash (ModelConfig.gelu_stash_dtype)
+        from valor_tpu.ops.layers import set_gelu_stash_dtype
+
+        set_gelu_stash_dtype(os.environ["BENCH_GELU_STASH"])
+    if os.environ.get("BENCH_ATTN_LAYOUT"):
+        # transpose-free attention layout (ModelConfig.attention_layout)
+        from valor_tpu.ops.layers import set_attention_layout
+
+        set_attention_layout(os.environ["BENCH_ATTN_LAYOUT"])
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
         from valor_tpu.ops.layers import set_remat_policy
@@ -298,6 +310,11 @@ def main(report: bool = True):
         cfg = cfg.replace(checkpointing=False)
     if os.environ.get("BENCH_REMAT_SCOPE"):
         cfg = cfg.replace(remat_scope=os.environ["BENCH_REMAT_SCOPE"])
+    if os.environ.get("BENCH_GQA_KV_HEADS"):
+        # grouped-query cross-attention A/B (fusion_cross_attn_kv_heads)
+        cfg = cfg.replace(
+            fusion_cross_attn_kv_heads=int(os.environ["BENCH_GQA_KV_HEADS"])
+        )
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva%tv%ta_caption%tva%tv%ta")
     batch = _synthetic_batch(batch=batch_size)

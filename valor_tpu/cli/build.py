@@ -267,6 +267,7 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     # measured-faster attention at VALOR sequence lengths (PERF_NOTES.md);
     # remat_policy selects the jax.checkpoint save-list
     from valor_tpu.ops.layers import (
+        set_attention_layout,
         set_gelu_stash_dtype,
         set_remat_policy,
         set_scores_dtype,
@@ -275,6 +276,7 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     set_remat_policy(cfg.model.remat_policy)
     set_scores_dtype(cfg.model.attention_logits_dtype)
     set_gelu_stash_dtype(cfg.model.gelu_stash_dtype)
+    set_attention_layout(cfg.model.attention_layout)
     from valor_tpu.parallel.activations import set_sequence_sharding
 
     set_sequence_sharding(mesh if cfg.model.sequence_parallel else None)

@@ -155,6 +155,11 @@ class ModelConfig:
     # likewise keeps these tensors in half precision.  Only applied when
     # `dtype` itself is half precision; set 'float32' to opt out.
     attention_logits_dtype: str = "bfloat16"
+    # attention memory layout: 'bhsd' (classic split-heads transpose) or
+    # 'bshd' (reshape-only: Q/K/V stay [B,S,H,D] and the einsums contract
+    # the head dim in place — no materialised transpose of the projection
+    # outputs; ops/layers.py _attention_bshd).  Bit-equal math.
+    attention_layout: str = "bhsd"
     # dtype of the gelu backward stash ('none' = AD saves the compute-dtype
     # pre-activation).  'float8_e4m3fn' halves the fc1 pre-activation
     # residual traffic — forward values are BIT-IDENTICAL (only gelu'(x)

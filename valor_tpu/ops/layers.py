@@ -192,6 +192,22 @@ def set_gelu_stash_dtype(name) -> None:
     _GELU_STASH_DTYPE[0] = None if not name or name == "none" else _jnp.dtype(name)
 
 
+# trace-time attention memory layout: "bhsd" (classic split_heads
+# transpose) or "bshd" (reshape-only: Q/K/V stay [B,S,H,D] and the
+# einsums contract the head dim in place).  Motivation: the round-4 OOM
+# buffer dump showed XLA materialising a 96 MB layout-transpose copy of
+# EVERY fusion cross-attn K/V projection output ([64,917,768] {1,2,0})
+# — the bshd layout removes the transpose at the source.  Forward math
+# is identical (same contractions, different operand layouts).
+_ATTN_LAYOUT = ["bhsd"]
+
+
+def set_attention_layout(name: str) -> None:
+    if name not in ("bhsd", "bshd"):
+        raise ValueError(f"unknown attention layout {name!r}")
+    _ATTN_LAYOUT[0] = name
+
+
 from functools import partial as _partial
 
 
@@ -265,33 +281,62 @@ def dot_product_attention(
         # materialised at full head count.
         return _grouped_attention(q, k, v, bias, dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(depth)
+    probs = _masked_softmax(scores / math.sqrt(depth), bias, dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
+    return out
+
+
+def _masked_softmax(scores, bias, dtype: Dtype) -> jnp.ndarray:
+    """Shared scores epilogue: additive bias, half/f8 logit storage, fp32
+    softmax.
+
+    `bias` may be a tuple of independently-broadcastable terms (e.g.
+    [B,1,1,K] padding + [1,1,Q,K] structure from
+    fusion_attention_bias_terms): adding each separately lets XLA fuse
+    the tiny reads into the scores epilogue instead of streaming a
+    materialised [B,1,Q,K] tensor every layer.
+
+    With a scores dtype installed, the [B,H,Q,K] logits are stored bf16
+    (the matmul epilogue casts, the softmax kernel upcasts in-register):
+    halves the largest intermediate's HBM traffic — the reference's
+    apex-O2 fp16 mode likewise keeps these tensors in half precision.
+    float8 types quarter it; clamp to the finite range first so the
+    NEG_INF mask value saturates instead of overflowing e4m3fn (no inf)
+    to NaN — softmax(clamped NEG) is still exactly 0.0 in fp32."""
     if bias is not None:
-        # `bias` may be a tuple of independently-broadcastable terms
-        # (e.g. [B,1,1,K] padding + [1,1,Q,K] structure from
-        # fusion_attention_bias_terms): adding each separately lets XLA
-        # fuse the tiny reads into the scores epilogue instead of
-        # streaming a materialised [B,1,Q,K] tensor every layer
         for term in bias if isinstance(bias, (tuple, list)) else (bias,):
             scores = scores + term.astype(jnp.float32)
     if _SCORES_DTYPE[0] is not None and dtype != jnp.float32:
-        # store the [B,H,Q,K] logits in bf16 (the matmul epilogue casts,
-        # the softmax kernel upcasts in-register): halves the largest
-        # intermediate's HBM traffic.  The reference's apex-O2 fp16 mode
-        # keeps these tensors in HALF precision throughout.  float8 types
-        # quarter it; clamp to the finite range first so the NEG_INF mask
-        # value saturates instead of overflowing to NaN (e4m3fn has no
-        # inf) — softmax(clamped NEG) is still exactly 0.0 in fp32.
         sdt = _SCORES_DTYPE[0]
         if jnp.finfo(sdt).bits == 8:
             fmax = float(jnp.finfo(sdt).max)
             scores = jnp.clip(scores, -fmax, fmax)
         scores = scores.astype(sdt)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    else:
-        probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
-    return out
+        return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _attention_bshd(
+    q: jnp.ndarray,  # [B, Q, H, D]
+    k: jnp.ndarray,  # [B, K, H, D]
+    v: jnp.ndarray,  # [B, K, H, D]
+    bias: Optional[jnp.ndarray],
+    dtype: Dtype,
+) -> jnp.ndarray:
+    """Attention with Q/K/V in [B, S, H, D] layout (reshape-only heads):
+    the einsums contract the head dim in place, so the projection outputs
+    are never transposed.  Motivated by the round-4 OOM buffer dump, which
+    showed XLA materialising a 96 MB layout-copy of EVERY fusion
+    cross-attn K/V projection output under the classic split_heads
+    transpose.  Same contractions, same fp32 softmax; returns [B,Q,H*D]
+    (heads already merged — the reshape is free)."""
+    b, qlen, h, depth = q.shape
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = _masked_softmax(scores / math.sqrt(depth), bias, dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+    return out.reshape(b, qlen, h * depth)
 
 
 def _grouped_attention(
@@ -310,22 +355,15 @@ def _grouped_attention(
     scores = jnp.einsum(
         "bhgqd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32
     )
-    scores = scores / math.sqrt(depth)
-    if bias is not None:
-        for term in bias if isinstance(bias, (tuple, list)) else (bias,):
-            # [B|1, 1, Q|1, K] -> [B|1, 1, 1, Q|1, K]: broadcast over the
-            # kv-head and group dims (per-head bias is unsupported here)
-            assert term.shape[1] == 1, "GQA bias must be head-broadcast"
-            scores = scores + term[:, :, None].astype(jnp.float32)
-    if _SCORES_DTYPE[0] is not None and dtype != jnp.float32:
-        sdt = _SCORES_DTYPE[0]
-        if jnp.finfo(sdt).bits == 8:
-            fmax = float(jnp.finfo(sdt).max)
-            scores = jnp.clip(scores, -fmax, fmax)
-        scores = scores.astype(sdt)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    else:
-        probs = jax.nn.softmax(scores, axis=-1)
+    terms = bias if isinstance(bias, (tuple, list)) else (
+        (bias,) if bias is not None else ()
+    )
+    # [B|1, 1, Q|1, K] -> [B|1, 1, 1, Q|1, K]: broadcast over the kv-head
+    # and group dims (per-head bias is unsupported here)
+    for term in terms:
+        assert term.shape[1] == 1, "GQA bias must be head-broadcast"
+    grouped_bias = tuple(t[:, :, None] for t in terms) or None
+    probs = _masked_softmax(scores / math.sqrt(depth), grouped_bias, dtype)
     out = jnp.einsum("bhgqk,bhkd->bhgqd", probs.astype(dtype), v)
     return out.reshape(b, h, qlen, depth)
 
@@ -438,6 +476,28 @@ class MultiHeadAttention(nn.Module):
         # pipelines the three separate dots better than one runtime-
         # concatenated kernel it cannot prefetch.  Deleted per the
         # win-or-delete rule; see PERF_NOTES.md round-3 campaign.
+        if (
+            _ATTN_LAYOUT[0] == "bshd"
+            and kv_in is not None
+            and extra_kv is None
+            and not return_kv
+            and self._kv_heads == self.num_heads
+        ):
+            # transpose-free layout (see _attention_bshd); cache-carrying
+            # paths (decode) keep the classic [B,H,S,D] cache contract
+            qp, kp, vp = self.query(q_in), self.key(kv_in), self.value(kv_in)
+            b, qlen, c = qp.shape
+            d = c // self.num_heads
+            klen = kp.shape[1]
+            out = _attention_bshd(
+                qp.reshape(b, qlen, self.num_heads, d),
+                kp.reshape(b, klen, self.num_heads, d),
+                vp.reshape(b, klen, self.num_heads, d),
+                bias,
+                self.dtype,
+            )
+            out = maybe_dropout(self, out, self.dropout)
+            return self.out(out)
         qh = split_heads(self.query(q_in), self.num_heads)
         if kv_in is not None:
             kh = split_heads(self.key(kv_in), self._kv_heads)
