@@ -295,11 +295,12 @@ def main(report: bool = True):
         from valor_tpu.ops.layers import set_gelu_stash_dtype
 
         set_gelu_stash_dtype(os.environ["BENCH_GELU_STASH"])
-    if os.environ.get("BENCH_ATTN_LAYOUT"):
-        # transpose-free attention layout (ModelConfig.attention_layout)
-        from valor_tpu.ops.layers import set_attention_layout
+    # transpose-free attention layout — production default 'bshd'
+    # (ModelConfig.attention_layout; +1.1% measured, round-4 ladder);
+    # BENCH_ATTN_LAYOUT=bhsd restores the classic split-heads transpose
+    from valor_tpu.ops.layers import set_attention_layout
 
-        set_attention_layout(os.environ["BENCH_ATTN_LAYOUT"])
+    set_attention_layout(os.environ.get("BENCH_ATTN_LAYOUT", "bshd"))
     remat = os.environ.get("BENCH_REMAT", "")  # '', 'none', or a policy name
     if remat and remat != "none":
         from valor_tpu.ops.layers import set_remat_policy

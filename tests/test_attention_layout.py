@@ -18,8 +18,11 @@ from valor_tpu.ops.layers import MultiHeadAttention, set_attention_layout
 
 @pytest.fixture(autouse=True)
 def _restore():
-    yield
+    # each test computes its reference under the classic bhsd layout,
+    # then switches to bshd (the production default) and asserts parity
     set_attention_layout("bhsd")
+    yield
+    set_attention_layout("bshd")
 
 
 class TestBshdParity:

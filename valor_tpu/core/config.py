@@ -155,11 +155,16 @@ class ModelConfig:
     # likewise keeps these tensors in half precision.  Only applied when
     # `dtype` itself is half precision; set 'float32' to opt out.
     attention_logits_dtype: str = "bfloat16"
-    # attention memory layout: 'bhsd' (classic split-heads transpose) or
-    # 'bshd' (reshape-only: Q/K/V stay [B,S,H,D] and the einsums contract
-    # the head dim in place — no materialised transpose of the projection
-    # outputs; ops/layers.py _attention_bshd).  Bit-equal math.
-    attention_layout: str = "bhsd"
+    # attention memory layout: 'bshd' (default; reshape-only: Q/K/V stay
+    # [B,S,H,D] and the einsums contract the head dim in place — no
+    # materialised transpose of the projection outputs; ops/layers.py
+    # _attention_bshd) or 'bhsd' (classic split-heads transpose).  Same
+    # contractions / fp32 softmax (parity pinned in
+    # tests/test_attention_layout.py); bshd measured +1.1% on the real
+    # chip and removes the 96 MB/layer cross-attn K/V layout copies that
+    # dominated the f8-scores OOM buffer dump (PERF_NOTES.md round-4
+    # ladder).
+    attention_layout: str = "bshd"
     # dtype of the gelu backward stash ('none' = AD saves the compute-dtype
     # pre-activation).  'float8_e4m3fn' halves the fc1 pre-activation
     # residual traffic — forward values are BIT-IDENTICAL (only gelu'(x)

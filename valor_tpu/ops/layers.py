@@ -192,14 +192,15 @@ def set_gelu_stash_dtype(name) -> None:
     _GELU_STASH_DTYPE[0] = None if not name or name == "none" else _jnp.dtype(name)
 
 
-# trace-time attention memory layout: "bhsd" (classic split_heads
-# transpose) or "bshd" (reshape-only: Q/K/V stay [B,S,H,D] and the
-# einsums contract the head dim in place).  Motivation: the round-4 OOM
-# buffer dump showed XLA materialising a 96 MB layout-transpose copy of
-# EVERY fusion cross-attn K/V projection output ([64,917,768] {1,2,0})
+# trace-time attention memory layout: "bshd" (default; reshape-only:
+# Q/K/V stay [B,S,H,D] and the einsums contract the head dim in place)
+# or "bhsd" (classic split_heads transpose).  Motivation: the round-4
+# OOM buffer dump showed XLA materialising a 96 MB layout-transpose copy
+# of EVERY fusion cross-attn K/V projection output ([64,917,768] {1,2,0})
 # — the bshd layout removes the transpose at the source.  Forward math
-# is identical (same contractions, different operand layouts).
-_ATTN_LAYOUT = ["bhsd"]
+# is identical (same contractions, different operand layouts); measured
+# +1.1% on the real chip (PERF_NOTES.md round-4 ladder).
+_ATTN_LAYOUT = ["bshd"]
 
 
 def set_attention_layout(name: str) -> None:
