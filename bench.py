@@ -444,7 +444,13 @@ def main(report: bool = True):
         ),
         "value": round(sps, 2),
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC_PER_GPU, 2),
+        # the ~30 samples/s/GPU estimate is for VALOR-base; the reference
+        # publishes no large-config throughput, so a large/30 ratio would
+        # be apples-to-oranges — report null there and let the measured
+        # per-sample cost ratio vs base speak (PERF_NOTES.md)
+        "vs_baseline": (
+            None if large else round(sps / REFERENCE_SAMPLES_PER_SEC_PER_GPU, 2)
+        ),
         "mean_samples_per_sec": round(sps_mean, 2),
         "batch": batch_size,
         "inner_steps": inner,
