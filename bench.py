@@ -206,7 +206,17 @@ def main_generate(report: bool = True):
 
         set_scores_dtype("bfloat16")
 
+    from valor_tpu.ops.layers import set_attention_layout
+
+    set_attention_layout(os.environ.get("BENCH_ATTN_LAYOUT", "bshd"))
     cfg = _flagship_config()
+    if os.environ.get("BENCH_GQA_KV_HEADS"):
+        # grouped-query cross-attention serving A/B: shrinks the decode
+        # cross-KV cache num_heads/kv_heads-fold (eval/generate.py holds
+        # one [B*beam, Hk, S, D] K/V pair per fusion layer per modality)
+        cfg = cfg.replace(
+            fusion_cross_attn_kv_heads=int(os.environ["BENCH_GQA_KV_HEADS"])
+        )
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva_caption%tva")
     batch = _synthetic_batch(batch=batch_size)

@@ -83,6 +83,56 @@ class TestBshdParity:
         )
 
 
+class TestGroupedBshdParity:
+    """GQA (kv_heads < num_heads) under the transpose-free layout."""
+
+    def _mod_and_inputs(self):
+        r = np.random.RandomState(3)
+        x = jnp.asarray(r.randn(2, 7, 16), jnp.float32)
+        mem = jnp.asarray(r.randn(2, 9, 16), jnp.float32)
+        pad = jnp.asarray(r.randn(2, 1, 1, 9) * 0.2, jnp.float32)
+        mod = MultiHeadAttention(4, kv_heads=2)
+        params = mod.init(jax.random.PRNGKey(0), x, mem)["params"]
+        return mod, params, x, mem, pad
+
+    def test_grouped_cross_attention_parity(self):
+        mod, params, x, mem, pad = self._mod_and_inputs()
+        ref = mod.apply({"params": params}, x, mem, (pad,))
+        set_attention_layout("bshd")
+        out = mod.apply({"params": params}, x, mem, (pad,))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grouped_grads_parity(self):
+        mod, params, x, mem, pad = self._mod_and_inputs()
+
+        def loss(p, v):
+            return jnp.sum(mod.apply({"params": p}, v, mem, (pad,)) ** 2)
+
+        ref = jax.grad(loss)(params, x)
+        set_attention_layout("bshd")
+        out = jax.grad(loss)(params, x)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_grouped_decode_cache_unchanged(self):
+        """return_kv / extra_kv still route through the classic grouped
+        path (the cache contract is [B,Hk,S,D]) under bshd."""
+        mod, params, x, mem, _ = self._mod_and_inputs()
+        set_attention_layout("bshd")
+        out, kv = mod.apply({"params": params}, x, mem, return_kv=True)
+        assert kv[0].shape == (2, 2, 9, 4)
+        cached = mod.apply({"params": params}, x, None, extra_kv=kv)
+        direct = mod.apply({"params": params}, x, mem)
+        np.testing.assert_allclose(
+            np.asarray(cached), np.asarray(direct), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(direct), atol=1e-5
+        )
+
+
 class TestFusionEncoderBshd:
     def test_full_encoder_parity(self):
         r = np.random.RandomState(2)

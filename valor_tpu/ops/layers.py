@@ -340,6 +340,35 @@ def _attention_bshd(
     return out.reshape(b, qlen, h * depth)
 
 
+def _grouped_attention_bshd(
+    q: jnp.ndarray,  # [B, Q, H, D]
+    k: jnp.ndarray,  # [B, K, Hk, D], Hk divides H
+    v: jnp.ndarray,  # [B, K, Hk, D]
+    bias: Optional[jnp.ndarray],
+    dtype: Dtype,
+) -> jnp.ndarray:
+    """GQA in the transpose-free layout: grouped queries reshaped in
+    place ([B,Q,Hk,G,D]); K/V projection outputs are never transposed
+    (same motivation as _attention_bshd) and never repeated to full
+    head count (same as _grouped_attention).  Returns [B,Q,H*D]."""
+    b, qlen, h, depth = q.shape
+    hk = k.shape[2]
+    assert h % hk == 0, f"{h} query heads not divisible by {hk} kv heads"
+    qg = q.reshape(b, qlen, hk, h // hk, depth)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    terms = bias if isinstance(bias, (tuple, list)) else (
+        (bias,) if bias is not None else ()
+    )
+    for term in terms:
+        assert term.shape[1] == 1, "GQA bias must be head-broadcast"
+    grouped_bias = tuple(t[:, :, None] for t in terms) or None
+    probs = _masked_softmax(scores / math.sqrt(depth), grouped_bias, dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(dtype), v)
+    return out.reshape(b, qlen, h * depth)
+
+
 def _grouped_attention(
     q: jnp.ndarray,  # [B, H, Q, D]
     k: jnp.ndarray,  # [B, Hk, K, D], Hk divides H
@@ -482,18 +511,23 @@ class MultiHeadAttention(nn.Module):
             and kv_in is not None
             and extra_kv is None
             and not return_kv
-            and self._kv_heads == self.num_heads
         ):
-            # transpose-free layout (see _attention_bshd); cache-carrying
-            # paths (decode) keep the classic [B,H,S,D] cache contract
+            # transpose-free layout (see _attention_bshd /
+            # _grouped_attention_bshd); cache-carrying paths (decode)
+            # keep the classic [B,H,S,D] cache contract
             qp, kp, vp = self.query(q_in), self.key(kv_in), self.value(kv_in)
             b, qlen, c = qp.shape
             d = c // self.num_heads
             klen = kp.shape[1]
-            out = _attention_bshd(
+            fn = (
+                _attention_bshd
+                if self._kv_heads == self.num_heads
+                else _grouped_attention_bshd
+            )
+            out = fn(
                 qp.reshape(b, qlen, self.num_heads, d),
-                kp.reshape(b, klen, self.num_heads, d),
-                vp.reshape(b, klen, self.num_heads, d),
+                kp.reshape(b, klen, self._kv_heads, d),
+                vp.reshape(b, klen, self._kv_heads, d),
                 bias,
                 self.dtype,
             )
