@@ -179,6 +179,81 @@ class TestVALORPipelined:
         assert np.isfinite(float(metrics["total_loss"]))
         assert int(state.step) == 1
 
+    def test_loss_parity_dp_tp_pp_3d(self):
+        """Full 3D parallelism in ONE program: a (data=2, model=2, pipe=2)
+        mesh through the PRODUCTION build path.  The pipeline shard_map is
+        manual over data+pipe only (partial-auto, parallel/pipeline.py), so
+        GSPMD keeps partitioning each stage's matmuls over `model` — losses
+        must match the sequential (non-pipelined) program on the same
+        TP-sharded params."""
+        from valor_tpu.cli.build import build_model_and_state
+        from valor_tpu.core.config import Config, TrainConfig
+        from valor_tpu.parallel.mesh import MODEL_AXIS
+
+        mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+        task_str = "pt_contra%tva_caption%tva"
+        cfg = Config(
+            model=tiny_model_config(
+                fusion_layers=4, fusion_pipeline_stages=2, dropout=0.0
+            ),
+            train=TrainConfig(num_train_steps=1, valid_steps=0, seed=0),
+        )
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        try:
+            model, tx, state = build_model_and_state(
+                cfg, {task_str: batch}, mesh=mesh
+            )
+            # TP is live: at least one fusion kernel sharded over `model`
+            tp_leaves = [
+                x
+                for x in jax.tree_util.tree_leaves(state.params)
+                if hasattr(x, "sharding")
+                and any(
+                    ax == MODEL_AXIS
+                    for ax in (getattr(x.sharding, "spec", None) or ())
+                    if ax
+                )
+            ]
+            assert tp_leaves, "no param is TP-sharded on the 3-axis mesh"
+
+            spec = parse_task(task_str)
+
+            def losses(p):
+                return model.apply(
+                    {"params": p}, batch, spec, True, True,
+                    rngs={"mask": jax.random.PRNGKey(2)},
+                )
+
+            def total(p):
+                return sum(
+                    jnp.asarray(v, jnp.float32) for v in losses(p).values()
+                )
+
+            before = pipeline_applied()
+            out = jax.jit(losses)(state.params)
+            assert pipeline_applied() > before, "pipeline did not engage"
+            g3d = jax.jit(jax.grad(total))(state.params)
+            set_pipeline(None)
+            ref = jax.jit(losses)(state.params)
+            gref = jax.jit(jax.grad(total))(state.params)
+            for k in ref:
+                a, b = float(out[k]), float(ref[k])
+                assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (
+                    f"loss {k}: 3D {a} != sequential-TP {b}"
+                )
+            # grad parity: AD through the partial-manual GPipe schedule
+            # must match AD through the sequential TP program
+            ga = jax.tree_util.tree_leaves(g3d)
+            gb = jax.tree_util.tree_leaves(gref)
+            assert len(ga) == len(gb)
+            worst = max(
+                float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
+                for x, y in zip(ga, gb)
+            )
+            assert worst <= 5e-3, f"3D grad mismatch: max|dg|={worst}"
+        finally:
+            set_pipeline(None)
+
     def test_dropout_runs_under_pipeline(self, pipe_mesh):
         """Training-mode dropout inside the pipelined stack traces and
         stays finite (per-tick/stage/layer folded rngs)."""

@@ -458,6 +458,35 @@ class BertFusionEncoder(nn.Module):
         trees = [variables[f"layer_{i}"] for i in range(c.num_layers)]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
+        # TP composes: on a (data, model, pipe) mesh the stacked kernels
+        # keep their Megatron column/row sharding (partition.param_spec)
+        # on the trailing dims — the pipeline shard_map is manual over
+        # data+pipe only, so GSPMD partitions each stage's matmuls over
+        # `model` exactly as in the sequential program (DP x PP x TP).
+        from valor_tpu.parallel.mesh import MODEL_AXIS
+
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from valor_tpu.parallel.partition import param_spec
+
+            def _constrain(path, x):
+                rel = "/" + "/".join(
+                    str(getattr(k, "key", k)) for k in path
+                )
+                spec = param_spec(rel, x.ndim - 1)
+                ok = all(
+                    d % mesh.shape[a] == 0
+                    for d, a in zip(x.shape[1:], spec)
+                    if a is not None
+                )
+                full = P(None, *spec) if ok else P()
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, full)
+                )
+
+            stacked = jax.tree_util.tree_map_with_path(_constrain, stacked)
+
         # per-batch side inputs ride the extras lane; batch-independent
         # bias terms (the [1,1,L,L] structural mask) close over the stage fn
         bias_terms = (

@@ -55,13 +55,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax >= 0.8: jax.shard_map, replication checking renamed check_vma
     from jax import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep, axis_names=None):
+        kw = {}
+        if axis_names is not None:
+            # partial-manual: axes NOT listed stay auto — GSPMD still
+            # partitions the body's matmuls over them (this is how TP
+            # composes inside the pipeline, see pipeline_apply)
+            kw["axis_names"] = frozenset(axis_names)
         return _shard_map(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=check_rep,
+            check_vma=check_rep, **kw,
         )
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy  # type: ignore
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep, axis_names=None):
+        kw = {}
+        if axis_names is not None:
+            auto = frozenset(mesh.axis_names) - frozenset(axis_names)
+            if auto:
+                kw["auto"] = auto
+        return _shard_map_legacy(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_rep, **kw,
+        )
 
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
@@ -217,6 +234,19 @@ def pipeline_apply(
     exs_spec = (
         jax.tree_util.tree_map(lambda _: xs_spec, exs) if has_extras else ()
     )
+    # the schedule is manual over data+pipe only; any OTHER mesh axis
+    # (e.g. `model`) stays auto so GSPMD keeps partitioning the
+    # within-stage matmuls — this is full DP x PP x TP in one program
+    # (stage params arrive TP-sharded on their trailing dims, the
+    # compiler inserts the model-axis collectives inside each tick).
+    # Only go partial-manual when an auto axis is actually >1: size-1
+    # axes gain nothing, and partial-auto shard_map requires a
+    # surrounding jit (eager it rejects the auto axes in the specs).
+    manual = tuple(a for a in (DATA_AXIS, PIPE_AXIS) if a in mesh.shape)
+    auto_live = [
+        a for a in mesh.axis_names if a not in manual and mesh.shape[a] > 1
+    ]
+    axis_names = manual if auto_live else None
 
     @partial(
         shard_map,
@@ -226,6 +256,7 @@ def pipeline_apply(
         # the output IS replicated over pipe (psum below) but flows through
         # data-dependent wheres the replication checker cannot see through
         check_rep=False,
+        axis_names=axis_names,
     )
     def run(params_blk, xs_local, exs_local, rng_local):
         # params_blk leaves: [1, layers_per_stage, ...] — this device's stage
@@ -293,7 +324,14 @@ def pipeline_apply(
         )
         return outs
 
-    out = run(
+    # partial-auto shard_map must run under jit (eager rejects auto axes);
+    # a concrete (non-traced) input means we're the outermost program
+    run_fn = (
+        jax.jit(run)
+        if axis_names is not None and not isinstance(x, jax.core.Tracer)
+        else run
+    )
+    out = run_fn(
         stage_params,
         xs,
         exs,
