@@ -177,6 +177,7 @@ class TestProductionMesh:
                 M.make_mesh = orig_make_mesh
             losses[tag] = captured[0]
         # different XLA programs (collectives + fusion) reorder float32
-        # reductions; 1e-3 bounds that while still catching wrong-batch or
-        # wrong-normalization bugs (those shift the loss by >>1%)
-        np.testing.assert_allclose(losses["8dev"], losses["1dev"], rtol=1e-3)
+        # reductions; 2e-3 bounds that (measured up to 1.15e-3 under host
+        # load) while still catching wrong-batch or wrong-normalization
+        # bugs (those shift the loss by >>1%)
+        np.testing.assert_allclose(losses["8dev"], losses["1dev"], rtol=2e-3)

@@ -179,6 +179,91 @@ class TestVALORPipelined:
         assert np.isfinite(float(metrics["total_loss"]))
         assert int(state.step) == 1
 
+    def test_interleaved_loss_parity_full_model(self):
+        """fusion_pipeline_interleave=2: the interleaved (virtual-stage)
+        schedule through the production model knob — losses match the
+        sequential program (same params, same mask rng)."""
+        mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+        cfg = tiny_model_config(
+            fusion_layers=4,
+            fusion_pipeline_stages=2,
+            fusion_pipeline_interleave=2,
+            dropout=0.0,
+        )
+        model = VALORModel(cfg)
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        task = parse_task("pt_contra%tva_caption%tva")
+        set_pipeline(None)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            batch, task, True, True,
+        )["params"]
+        ref = model.apply(
+            {"params": params}, batch, task, True, True,
+            rngs={"mask": jax.random.PRNGKey(2)},
+        )
+        try:
+            set_pipeline(mesh)
+            before = pipeline_applied()
+            out = jax.jit(
+                lambda p: model.apply(
+                    {"params": p}, batch, task, True, True,
+                    rngs={"mask": jax.random.PRNGKey(2)},
+                )
+            )(params)
+            assert pipeline_applied() > before
+            for k in ref:
+                np.testing.assert_allclose(
+                    float(out[k]), float(ref[k]), rtol=2e-4,
+                    err_msg=f"loss {k} diverged under interleaved pipelining",
+                )
+        finally:
+            set_pipeline(None)
+
+    def test_pipe_axis_is_extra_dp_outside_the_pipeline(self, pipe_mesh):
+        """On a (data, pipe) mesh the batch shards over BOTH axes
+        (mesh.batch_sharding): the towers and heads split over pipe
+        instead of recomputing redundantly on every pipe device; only the
+        GPipe shard_map itself gathers the microbatches.  The production
+        train step must run on such inputs with parity vs the
+        sequential program."""
+        import optax
+        from jax.sharding import PartitionSpec as P
+
+        from valor_tpu.parallel.mesh import shard_batch
+        from valor_tpu.train.step import TrainState, make_train_step
+
+        cfg = self._cfg()
+        model = VALORModel(cfg)
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        task = parse_task("pt_contra%tva_caption%tva")
+        set_pipeline(None)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            batch, task, True, True,
+        )["params"]
+
+        dev = shard_batch(pipe_mesh, batch)
+        assert dev["video_pixels"].sharding.spec == P(("data", "pipe")), (
+            "batch must shard over data x pipe on a pipe mesh"
+        )
+        tx = optax.sgd(1e-3)
+        step = make_train_step(model, tx, donate=False)
+
+        set_pipeline(pipe_mesh)
+        before = pipeline_applied()
+        state = TrainState.create(params, tx)
+        state, metrics = step(state, dev, jax.random.PRNGKey(2), task)
+        assert pipeline_applied() > before, "pipeline did not engage"
+        set_pipeline(None)
+        ref_state = TrainState.create(params, tx)
+        _, ref_metrics = step(ref_state, batch, jax.random.PRNGKey(2), task)
+        a = float(metrics["total_loss"])
+        b = float(ref_metrics["total_loss"])
+        assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (
+            f"pipe-as-DP total_loss {a} != sequential {b}"
+        )
+
     def test_loss_parity_dp_tp_pp_3d(self):
         """Full 3D parallelism in ONE program: a (data=2, model=2, pipe=2)
         mesh through the PRODUCTION build path.  The pipeline shard_map is

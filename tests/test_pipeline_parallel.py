@@ -54,6 +54,58 @@ def test_forward_matches_sequential(stack, n_pipe, n_micro):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "n_pipe,n_micro,interleave",
+    [(2, 4, 2), (2, 2, 2), (4, 4, 2), (2, 2, 4), (4, 8, 2)],
+)
+def test_interleaved_matches_sequential(stack, n_pipe, n_micro, interleave):
+    """Megatron-style interleaved schedule (V virtual stages per device):
+    closed-form group scheduling in the same ring — forward parity vs the
+    sequential stack at every (S, M, V) combination that divides LAYERS."""
+    apply_one, stacked, x = stack
+    if LAYERS % (n_pipe * interleave):
+        pytest.skip("layers do not divide into S*V blocks")
+    mesh = make_pipe_mesh(n_pipe)
+    ref = sequential(apply_one, stacked, x)
+    out = jax.jit(
+        lambda p, v: pipeline_layers(
+            apply_one, p, v, mesh, n_micro, interleave=interleave
+        )
+    )(stacked, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_interleaved_grad_matches_sequential(stack):
+    apply_one, stacked, x = stack
+    mesh = make_pipe_mesh(4)
+
+    def loss_pipe(p):
+        return jnp.sum(
+            pipeline_layers(apply_one, p, x, mesh, 4, interleave=2) ** 2
+        )
+
+    def loss_seq(p):
+        return jnp.sum(sequential(apply_one, p, x) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_pipe), jax.tree_util.tree_leaves(g_seq)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_interleaved_requires_group_divisibility(stack):
+    """M % S != 0 cannot run the group schedule — loud error, no silent
+    wrong answer."""
+    apply_one, stacked, x = stack
+    mesh = make_pipe_mesh(4)
+    with pytest.raises(ValueError, match="M % S"):
+        pipeline_layers(apply_one, stacked, x, mesh, 2, interleave=2)
+
+
 def test_grad_matches_sequential(stack):
     """AD through scan+ppermute gives the reverse-flow pipeline for free."""
     apply_one, stacked, x = stack

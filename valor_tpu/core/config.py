@@ -122,6 +122,10 @@ class ModelConfig:
     # microbatch count M (bubble (S-1)/(M+S-1)); 0 = auto (largest
     # divisor of the batch <= 2*stages)
     fusion_pipeline_microbatches: int = 0
+    # interleaved (virtual-stage) schedule: V chunks per device assigned
+    # stride-S, bubble shrinks to (S-1)/V chunk-times (Megatron-style).
+    # Requires fusion_layers % (stages * V) == 0.
+    fusion_pipeline_interleave: int = 1
     audio_hidden: int = 768
     audio_layers: int = 12
     audio_heads: int = 12

@@ -72,6 +72,13 @@ class BertConfig:
     # trace time and sliced by shard_map), so checkpoints/converters/TP specs
     # are layout-compatible with the sequential path.
     pipeline_stages: int = 0
+    # interleaved (virtual-stage) schedule: V chunks of num_layers/(S*V)
+    # layers per device, assigned stride-S (Megatron-style), shrinking the
+    # pipeline bubble from (S-1) stage-times to (S-1)/V.  Requires
+    # num_layers % (stages * interleave) == 0; falls back to the plain
+    # GPipe schedule per-call when the microbatch count is not a multiple
+    # of the stage count (the group schedule's requirement).
+    pipeline_interleave: int = 1
 
 
 class BertEmbeddings(nn.Module):
@@ -282,10 +289,17 @@ class BertFusionEncoder(nn.Module):
             # change routing semantics; the two knobs also target the same
             # scaling budget.  Refuse loudly instead of silently diverging.
             raise ValueError("pipeline_stages and moe_experts are mutually exclusive")
-        if c.pipeline_stages > 0 and c.num_layers % c.pipeline_stages:
+        if c.pipeline_stages > 0 and c.num_layers % (
+            c.pipeline_stages * max(c.pipeline_interleave, 1)
+        ):
             raise ValueError(
                 f"{c.num_layers} fusion layers do not divide into "
                 f"{c.pipeline_stages} pipeline stages"
+                + (
+                    f" x {c.pipeline_interleave} interleaved chunks"
+                    if c.pipeline_interleave > 1
+                    else ""
+                )
             )
         self.embeddings = BertEmbeddings(c, dtype=self.dtype, name="embeddings")
         layer_cls = BertFusionLayer
@@ -519,6 +533,19 @@ class BertFusionEncoder(nn.Module):
 
         if self.remat:
             apply_layer = jax.checkpoint(apply_layer)
+        # interleaved schedule needs microbatch groups of S: prefer an
+        # S-multiple microbatch count the batch supports, else fall back
+        # to the plain GPipe schedule per-call (same no-op contract as
+        # the engagement checks above)
+        interleave = max(c.pipeline_interleave, 1)
+        if interleave > 1 and m % c.pipeline_stages:
+            s = c.pipeline_stages
+            for cand in (2 * s, s):
+                if batch % cand == 0 and (batch // cand) % n_data == 0:
+                    m = cand
+                    break
+            else:
+                interleave = 1
         _note_applied()
         return pipeline_layers(
             apply_layer,
@@ -529,6 +556,7 @@ class BertFusionEncoder(nn.Module):
             shard_batch_over_data=mesh.shape.get(DATA_AXIS, 1) > 1,
             extras=tuple(extras),
             rng=rng,
+            interleave=interleave,
         )
 
 

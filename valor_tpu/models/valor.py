@@ -196,6 +196,7 @@ class VALORModel(nn.Module):
             moe_every=c.fusion_moe_every,
             moe_capacity_factor=c.fusion_moe_capacity_factor,
             pipeline_stages=c.fusion_pipeline_stages,
+            pipeline_interleave=c.fusion_pipeline_interleave,
             cross_attn_kv_heads=c.fusion_cross_attn_kv_heads,
         )
         self.bert_cfg = bert_cfg

@@ -57,8 +57,17 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over the data axis — and over `pipe`
+    too when the mesh has one.
+
+    Outside the pipelined fusion block the pipe devices would otherwise
+    recompute the towers and heads redundantly (the GPipe shard_map is the
+    only consumer of the pipe axis): folding `pipe` into the batch sharding
+    makes it extra data parallelism for all batch-parallel compute, and
+    GSPMD inserts the pipe-axis all_gather at the shard_map boundary where
+    the schedule genuinely needs every microbatch resident."""
+    axes = (DATA_AXIS, PIPE_AXIS) if mesh.shape.get(PIPE_AXIS, 1) > 1 else DATA_AXIS
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -78,6 +87,9 @@ def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     multihost = jax.process_count() > 1
+    n_shards = mesh.shape[DATA_AXIS] * (
+        mesh.shape.get(PIPE_AXIS, 1) if sh.spec != P(DATA_AXIS) else 1
+    )
 
     def put(key, x):
         if not hasattr(x, "ndim"):
@@ -91,8 +103,11 @@ def shard_batch(mesh: Mesh, batch):
                 # media rows land at offset p * Q_local in the global array
                 x = x + jax.process_index() * _local_rows(batch)
             return jax.make_array_from_process_local_data(sh, x)
-        if x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        if x.shape[0] % n_shards == 0:
             return jax.device_put(x, sh)
+        if x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            # divisible by data but not data*pipe: keep plain DP sharding
+            return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
         if key not in _warned_replicated and x.ndim > 1:
             _warned_replicated.add(key)
             from valor_tpu.core.logging import LOGGER

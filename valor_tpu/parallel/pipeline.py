@@ -157,15 +157,31 @@ def stack_params(params_list: Sequence[Any]) -> Any:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
 
 
-def _reshape_stages(stacked: Any, n_stages: int) -> Any:
-    """[L, ...] stacked layers -> [S, L//S, ...] stage blocks."""
+def _reshape_stages(stacked: Any, n_stages: int, interleave: int = 1) -> Any:
+    """[L, ...] stacked layers -> [S, L//S, ...] stage blocks.
+
+    With ``interleave=V``: -> [S, V, L//(S*V), ...] where device ``d``
+    holds the stride-S blocks ``{v*S + d}`` (Megatron-style interleaved
+    assignment — consecutive blocks live on consecutive devices, so the
+    payload's chunk index is ``block // S`` on every device)."""
+    blocks = n_stages * interleave
 
     def fold(x):
-        if x.shape[0] % n_stages:
+        if x.shape[0] % blocks:
             raise ValueError(
                 f"{x.shape[0]} layers do not divide into {n_stages} stages"
+                + (f" x {interleave} chunks" if interleave > 1 else "")
             )
-        return x.reshape(n_stages, x.shape[0] // n_stages, *x.shape[1:])
+        lc = x.shape[0] // blocks
+        if interleave == 1:
+            return x.reshape(n_stages, lc, *x.shape[1:])
+        xb = x.reshape(blocks, lc, *x.shape[1:])
+        order = np.array(
+            [v * n_stages + d for d in range(n_stages) for v in range(interleave)]
+        )
+        return jnp.take(xb, order, axis=0).reshape(
+            n_stages, interleave, lc, *x.shape[1:]
+        )
 
     return jax.tree_util.tree_map(fold, stacked)
 
@@ -179,6 +195,7 @@ def pipeline_apply(
     shard_batch_over_data: bool = False,
     extras: Any = None,
     rng: Optional[jax.Array] = None,
+    interleave: int = 1,
 ) -> jnp.ndarray:
     """Run ``x`` through ``S`` pipeline stages on the ``pipe`` mesh axis.
 
@@ -194,7 +211,17 @@ def pipeline_apply(
         ``mesh.shape['pipe']``; leaf ``i`` holds stage ``i``'s params.
       x: ``[B, ...]`` batch; ``B`` must divide into ``num_microbatches``.
       mesh: a mesh containing a ``pipe`` axis (and optionally ``data``).
-      num_microbatches: M.  Bubble fraction (S-1)/(M+S-1).
+      num_microbatches: M.  Bubble fraction (S-1)/(M+S-1) for the plain
+        GPipe schedule (``interleave=1``).
+      interleave: V virtual stages per device (Megatron-style interleaved
+        schedule).  With ``stage_params`` leaves shaped ``[S, V, ...]``
+        (``_reshape_stages(..., interleave=V)`` assigns device ``d`` the
+        stride-S blocks ``{v*S+d}``), microbatch groups of S circulate the
+        ring V times; each device applies chunk ``b // S`` of the payload
+        at block ``b``.  Wall = ``M*V + S - 1`` chunk-ticks where a chunk
+        is 1/V of a stage, so the bubble shrinks from ``(S-1)`` stage-times
+        to ``(S-1)/V`` — at the cost of V x more ppermute hops.  Requires
+        ``M % S == 0`` and ``V=1`` reduces exactly to the GPipe schedule.
       shard_batch_over_data: shard the microbatch dim over ``data``
         (DP x PP).  Requires ``mb % mesh.shape['data'] == 0``.
       extras: optional pytree of per-batch tensors ``[B, ...]`` that ride
@@ -210,6 +237,11 @@ def pipeline_apply(
     batch = x.shape[0]
     if batch % num_microbatches:
         raise ValueError(f"batch {batch} not divisible by M={num_microbatches}")
+    if interleave > 1 and num_microbatches % n_stages:
+        raise ValueError(
+            f"interleaved schedule needs M % S == 0, got M={num_microbatches} "
+            f"S={n_stages} (microbatch groups of S circulate the ring)"
+        )
     mb = batch // num_microbatches
     if shard_batch_over_data:
         n_data = mesh.shape.get(DATA_AXIS, 1)
@@ -260,9 +292,69 @@ def pipeline_apply(
     )
     def run(params_blk, xs_local, exs_local, rng_local):
         # params_blk leaves: [1, layers_per_stage, ...] — this device's stage
+        # (interleave > 1: [1, V, layers_per_chunk, ...] — V virtual stages)
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_blk)
         idx = lax.axis_index(PIPE_AXIS)
         m = xs_local.shape[0]
+        ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def _ctx_out(chunk, state, m_c, t):
+            if not wants_ctx:
+                return stage_fn(chunk, state)
+            ex_mb = (
+                jax.tree_util.tree_map(
+                    lambda e: lax.dynamic_index_in_dim(
+                        e, m_c, 0, keepdims=False
+                    ),
+                    exs_local,
+                )
+                if has_extras
+                else None
+            )
+            key = (
+                jax.random.fold_in(rng_local, t * n_stages + idx)
+                if rng is not None
+                else None
+            )
+            return stage_fn(chunk, state, ex_mb, key)
+
+        def tick_interleaved(carry, t):
+            # closed-form group schedule: microbatch groups of S circulate
+            # the ring V times; the payload at this device at tick t is
+            # microbatch m = g*S + r, at global block b (local chunk b//S).
+            # Entry: m enters stage 0 at tick g*S*V + r; one hop per tick;
+            # b == idx (mod S) always, so ingest (b==0) happens only at
+            # stage 0 and exit (b==SV-1) only at stage S-1 — the wrapped
+            # exited payload is exactly what the next ingest overwrites,
+            # making the schedule conflict-free with a single carry slot.
+            state, outs = carry
+            sv = n_stages * interleave
+            r = jnp.mod(t - idx, n_stages)
+            tr = t - r
+            g = jnp.floor_divide(tr, sv)
+            b = tr - g * sv
+            mb_i = g * n_stages + r
+            valid = jnp.logical_and(g >= 0, mb_i < m)
+            m_c = jnp.clip(mb_i, 0, m - 1)
+            feed = lax.dynamic_index_in_dim(xs_local, m_c, 0, keepdims=False)
+            state = jnp.where(jnp.logical_and(b == 0, valid), feed, state)
+            chunk = jax.tree_util.tree_map(
+                lambda p: lax.dynamic_index_in_dim(
+                    p,
+                    jnp.clip(b // n_stages, 0, interleave - 1),
+                    0,
+                    keepdims=False,
+                ),
+                params_here,
+            )
+            out = _ctx_out(chunk, state, m_c, t)
+            record = jnp.logical_and(b == sv - 1, valid)
+            cur = lax.dynamic_index_in_dim(outs, m_c, 0, keepdims=False)
+            outs = lax.dynamic_update_index_in_dim(
+                outs, jnp.where(record, out, cur), m_c, 0
+            )
+            nxt = lax.ppermute(out, PIPE_AXIS, ring)
+            return (nxt, outs), None
 
         def tick(carry, t):
             state, outs = carry
@@ -272,29 +364,10 @@ def pipeline_apply(
                 xs_local, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
             state = jnp.where(idx == 0, feed, state)
-            if wants_ctx:
-                # the microbatch resident at this stage is t - idx (what
-                # stage 0 ingested idx ticks ago); its side inputs come
-                # from the replicated extras buffer
-                r_idx = jnp.clip(t - idx, 0, m - 1)
-                ex_mb = (
-                    jax.tree_util.tree_map(
-                        lambda e: lax.dynamic_index_in_dim(
-                            e, r_idx, 0, keepdims=False
-                        ),
-                        exs_local,
-                    )
-                    if has_extras
-                    else None
-                )
-                key = (
-                    jax.random.fold_in(rng_local, t * n_stages + idx)
-                    if rng is not None
-                    else None
-                )
-                out = stage_fn(params_here, state, ex_mb, key)
-            else:
-                out = stage_fn(params_here, state)
+            # the microbatch resident at this stage is t - idx (what
+            # stage 0 ingested idx ticks ago); its side inputs come
+            # from the replicated extras buffer
+            out = _ctx_out(params_here, state, jnp.clip(t - idx, 0, m - 1), t)
             # last stage records microbatch t-(S-1) once it has traversed
             # every stage
             o_idx = jnp.clip(t - (n_stages - 1), 0, m - 1)
@@ -305,16 +378,14 @@ def pipeline_apply(
             )
             # one hop along the ring; stage S-1 -> 0 wraps (its payload is
             # overwritten by the stage-0 ingest next tick)
-            nxt = lax.ppermute(
-                out,
-                PIPE_AXIS,
-                [(i, (i + 1) % n_stages) for i in range(n_stages)],
-            )
+            nxt = lax.ppermute(out, PIPE_AXIS, ring)
             return (nxt, outs), None
 
         init = (jnp.zeros_like(xs_local[0]), jnp.zeros_like(xs_local))
         (_, outs), _ = lax.scan(
-            tick, init, jnp.arange(num_microbatches + n_stages - 1)
+            tick_interleaved if interleave > 1 else tick,
+            init,
+            jnp.arange(num_microbatches * interleave + n_stages - 1),
         )
         # outputs are valid on the last stage only; replicate over pipe so
         # downstream (loss, heads) sees the full batch everywhere
@@ -337,7 +408,19 @@ def pipeline_apply(
         exs,
         rng if rng is not None else jax.random.PRNGKey(0),
     )
-    return out.reshape(batch, *out.shape[2:])
+    out = out.reshape(batch, *out.shape[2:])
+    # hand the pipe axis back to batch parallelism for whatever follows
+    # (heads, losses): the schedule's output is replicated over pipe, so
+    # this constraint is a free slice — downstream compute then splits
+    # over data x pipe like the towers do (mesh.batch_sharding)
+    if shard_batch_over_data and n_stages > 1 and batch % (
+        mesh.shape.get(DATA_AXIS, 1) * n_stages
+    ) == 0:
+        out = jax.lax.with_sharding_constraint(
+            out,
+            jax.sharding.NamedSharding(mesh, P((DATA_AXIS, PIPE_AXIS))),
+        )
+    return out
 
 
 def pipeline_layers(
@@ -349,6 +432,7 @@ def pipeline_layers(
     shard_batch_over_data: bool = False,
     extras: Any = None,
     rng: Optional[jax.Array] = None,
+    interleave: int = 1,
 ) -> jnp.ndarray:
     """Pipeline a homogeneous layer stack.
 
@@ -362,7 +446,7 @@ def pipeline_layers(
     folded per layer-within-stage (None when ``rng`` is None).
     """
     n_stages = mesh.shape[PIPE_AXIS]
-    staged = _reshape_stages(stacked_params, n_stages)
+    staged = _reshape_stages(stacked_params, n_stages, interleave)
     wants_ctx = (
         extras is not None and bool(jax.tree_util.tree_leaves(extras))
     ) or rng is not None
@@ -383,6 +467,7 @@ def pipeline_layers(
             mesh,
             num_microbatches,
             shard_batch_over_data=shard_batch_over_data,
+            interleave=interleave,
         )
 
     def stage_fn_ctx(params_blk, h, ex_mb, key):
@@ -405,4 +490,5 @@ def pipeline_layers(
         shard_batch_over_data=shard_batch_over_data,
         extras=extras,
         rng=rng,
+        interleave=interleave,
     )
