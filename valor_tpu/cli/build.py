@@ -319,7 +319,7 @@ def build_model_and_state(cfg: Config, example_batches, mesh=None):
     if mesh is not None:
         from valor_tpu.parallel.partition import shard_params
 
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=cfg.train.fsdp)
     tx = build_optimizer(
         params,
         cfg.train,

@@ -261,6 +261,11 @@ class TrainConfig:
     model_shards: int = 1  # tensor-parallel axis size (mesh = data x model)
     prefetch: bool = True  # keep one device batch in flight (H2D overlap)
     zero_optimizer: bool = False  # shard adam moments over the data axis
+    # ZeRO-3-style fully-sharded params (FSDP): every large param leaf
+    # shards one free dim over `data`; GSPMD all_gathers at use sites and
+    # reduce-scatters grads, moments inherit the layout — param + grad +
+    # optimizer memory drop by the DP degree (parallel/partition.py).
+    fsdp: bool = False
     seed: int = 42
     valid_steps: int = 1000
     valid_freq: int = 10

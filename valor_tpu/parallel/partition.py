@@ -98,14 +98,34 @@ def shard_opt_state(opt_state: Any, params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(place, opt_state)
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     """device_put the param tree with TP specs (falling back to replication
-    for shapes not divisible by the model axis)."""
+    for shapes not divisible by the model axis).
+
+    With ``fsdp=True`` (ZeRO-3-style fully-sharded parameters, a
+    TPU-native extension — the reference replicates all params per GPU),
+    every large leaf additionally shards one dimension over ``data``:
+    GSPMD all_gathers a layer's params at its use site and reduce-scatters
+    its grads, and the adam moments inherit the layout via zeros_like —
+    param+grad+optimizer memory all drop by the DP degree.  Composes with
+    TP: the data axis lands on the first dim the TP spec leaves free.
+    Small leaves (< 16 KiB elements) stay replicated — the gather latency
+    costs more than the memory saves."""
+    from valor_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape.get(DATA_AXIS, 1)
 
     def place(path, x):
         spec = param_spec(_path_str(path), np.ndim(x))
         if spec != P() and not _divisible(x.shape, spec, mesh):
             spec = P()
+        if fsdp and n_data > 1 and np.ndim(x) >= 1 and x.size >= 1 << 14:
+            axes = list(spec) + [None] * (np.ndim(x) - len(spec))
+            for i, (dim, ax) in enumerate(zip(x.shape, axes)):
+                if ax is None and dim % n_data == 0:
+                    axes[i] = DATA_AXIS
+                    spec = P(*axes)
+                    break
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
