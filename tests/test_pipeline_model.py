@@ -220,6 +220,47 @@ class TestVALORPipelined:
         finally:
             set_pipeline(None)
 
+    def test_interleave_falls_back_when_microbatches_cannot_group(self):
+        """batch=6 on a (data=2, pipe=2) mesh: no S-multiple microbatch
+        count divides the batch with data-divisible microbatches, so the
+        model knob silently drops to the plain GPipe schedule (still
+        pipelined, still parity) instead of erroring."""
+        mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+        cfg = tiny_model_config(
+            fusion_layers=4,
+            fusion_pipeline_stages=2,
+            fusion_pipeline_interleave=2,
+            dropout=0.0,
+        )
+        model = VALORModel(cfg)
+        batch = make_batch(jax.random.PRNGKey(0), b=6)
+        task = parse_task("cap%tva")
+        set_pipeline(None)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            batch, task, True, True,
+        )
+        ref = model.apply(
+            variables, batch, task, True, True,
+            rngs={"mask": jax.random.PRNGKey(2)},
+        )
+        try:
+            set_pipeline(mesh)
+            before = pipeline_applied()
+            out = jax.jit(
+                lambda v: model.apply(
+                    v, batch, task, True, True,
+                    rngs={"mask": jax.random.PRNGKey(2)},
+                )
+            )(variables)
+            assert pipeline_applied() > before, "fallback must still pipeline"
+            for k in ref:
+                np.testing.assert_allclose(
+                    float(out[k]), float(ref[k]), rtol=2e-4
+                )
+        finally:
+            set_pipeline(None)
+
     def test_pipe_axis_is_extra_dp_outside_the_pipeline(self, pipe_mesh):
         """On a (data, pipe) mesh the batch shards over BOTH axes
         (mesh.batch_sharding): the towers and heads split over pipe
