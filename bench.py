@@ -187,10 +187,15 @@ def main_data_inclusive(report: bool = True, synth_sps=None):
     return result
 
 
-def main_generate(report: bool = True):
+def main_generate(report: bool = True, return_handles: bool = False):
     """BENCH_GEN=1: caption-generation (serving) throughput — encode media
     once + fixed-buffer greedy/beam decode, end-to-end under one jit
-    (eval/generate.py).  Reports captions/s/chip."""
+    (eval/generate.py).  Reports captions/s/chip.
+
+    With ``return_handles`` the built (model, cfg, params, batch) come back
+    too, so the serving-engine section can reuse the SAME model object —
+    ``gen.get_generator`` keys its program cache by model identity, so the
+    engine's batches then hit every compiled program from this section."""
     from valor_tpu.core.tasks import parse_task
     from valor_tpu.eval import generate as gen
     from valor_tpu.models.valor import VALORModel
@@ -264,6 +269,79 @@ def main_generate(report: bool = True):
         "max_len": max_len,
         "beam_size": beam,
         "step_seconds": [round(t, 3) for t in times],
+    }
+    if report:
+        print(json.dumps(result))
+    if return_handles:
+        return result, (model, cfg, params, gen_batch, max_len, beam)
+    return result
+
+
+def main_serve(report: bool = True, handles=None):
+    """BENCH_SERVE=1: dynamic-batching serving-engine throughput + latency.
+
+    Closed-loop load test of valor_tpu/serve/engine.py on the real chip:
+    BENCH_SERVE_CLIENTS concurrent callers (default 128) each submit
+    BENCH_SERVE_ROUNDS single-item requests (default 6) and wait for their
+    result, exactly as HTTP handler threads would; the engine coalesces
+    them into padded bucket-64 batches through the cached Generator
+    programs.  Reports sustained requests/s/chip plus the p50/p95/p99
+    request latency the batching adds — the engine-level counterpart of
+    the per-batch BENCH_GEN number.
+
+    Every request salts its pixels (the tunneled runtime memoizes
+    IDENTICAL executions, PERF_NOTES.md), so no two launched batches are
+    the same program input."""
+    import concurrent.futures as cf
+
+    from valor_tpu.serve import InferenceEngine, ServeConfig
+
+    if handles is None:
+        _, handles = main_generate(report=False, return_handles=True)
+    model, cfg, params, gen_batch, max_len, beam = handles
+    clients = int(os.environ.get("BENCH_SERVE_CLIENTS", 128))
+    rounds = int(os.environ.get("BENCH_SERVE_ROUNDS", 6))
+    bucket = int(os.environ.get("BENCH_BATCH", 64))
+    v0 = np.asarray(gen_batch["video_pixels"])[0]
+    a0 = np.asarray(gen_batch["audio_spectrograms"])[0]
+
+    scfg = ServeConfig(
+        buckets=(bucket,), max_wait_ms=50.0, group="tva",
+        caption_type=cfg.caption_type, max_len=max_len, beam_size=beam,
+    )
+    with InferenceEngine(model, params, scfg) as eng:
+        def client(i, n):
+            for j in range(n):
+                salt = np.float32((i * 1000 + j + 1) * 1e-6)
+                eng.generate({
+                    "video_pixels": v0 + salt,
+                    "audio_spectrograms": a0,
+                })
+
+        # warmup wave: fills one bucket, pays any residual compile
+        with cf.ThreadPoolExecutor(bucket) as pool:
+            list(pool.map(lambda i: client(i, 1), range(bucket)))
+        eng.reset_stats()
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(clients) as pool:
+            list(pool.map(lambda i: client(i + bucket, rounds), range(clients)))
+        elapsed = time.perf_counter() - t0
+        stats = eng.stats()
+    total = clients * rounds
+    result = {
+        "metric": "valor_base_serving_engine_requests_per_sec_per_chip",
+        "value": round(total / elapsed, 2),
+        "unit": "requests/s/chip",
+        "clients": clients,
+        "requests": total,
+        "bucket": bucket,
+        "max_wait_ms": scfg.max_wait_ms,
+        "batches": stats["batches"],
+        "mean_occupancy": round(stats["mean_occupancy"], 3),
+        "pad_fraction": round(stats["pad_fraction"], 4),
+        "latency_p50_s": round(stats["latency_p50_s"], 3),
+        "latency_p95_s": round(stats["latency_p95_s"], 3),
+        "latency_p99_s": round(stats["latency_p99_s"], 3),
     }
     if report:
         print(json.dumps(result))
@@ -507,8 +585,9 @@ def main_triple():
     except Exception as e:  # keep the headline even if a section dies
         result["data_inclusive"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"data-inclusive section failed: {e}", file=sys.stderr)
+    handles = None
     try:
-        gen = main_generate(report=False)
+        gen, handles = main_generate(report=False, return_handles=True)
         result["serving"] = {
             k: gen[k] for k in ("value", "batch", "max_len", "beam_size")
         }
@@ -516,6 +595,21 @@ def main_triple():
     except Exception as e:
         result["serving"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"serving section failed: {e}", file=sys.stderr)
+    try:
+        # dynamic-batching engine on the SAME model object: reuses every
+        # program the serving section just compiled (zero extra compiles)
+        serve = main_serve(report=False, handles=handles)
+        result["serving_engine"] = {
+            k: serve[k]
+            for k in (
+                "value", "clients", "bucket", "mean_occupancy",
+                "latency_p50_s", "latency_p95_s", "latency_p99_s",
+            )
+        }
+        result["serving_engine"]["unit"] = "requests/s/chip"
+    except Exception as e:
+        result["serving_engine"] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"serving-engine section failed: {e}", file=sys.stderr)
     # measured-once VALOR-large number (BENCH_LARGE=1 run on the real
     # chip; see PERF_NOTES.md) so the large-config datapoint travels in
     # the driver-captured JSON without re-paying its compile every round
@@ -531,6 +625,8 @@ if __name__ == "__main__":
         main_data_inclusive()
     elif os.environ.get("BENCH_GEN"):
         main_generate()
+    elif os.environ.get("BENCH_SERVE"):
+        main_serve()
     elif os.environ.get("BENCH_LARGE") or os.environ.get("BENCH_TRIPLE") == "0":
         main()
     else:

@@ -115,3 +115,21 @@ class TestCLI:
 
         cfg_path, root = cli_fixture
         main(["--config", str(cfg_path), "--zero_shot", "true"])
+
+    def test_infer_image_end_to_end(self, cli_fixture, capsys):
+        # regression: cli.infer used to init params with compute_loss=False,
+        # which skips the fusion decoder entirely (models/valor.py
+        # forward_cap returns early) — generation then died with
+        # ScopeParamNotFoundError on the first fusion param lookup, and a
+        # checkpoint restore would silently drop all decoder weights from
+        # its template.  The fixed init traces the loss path (True, False).
+        from valor_tpu.cli.infer import main
+
+        cfg_path, root = cli_fixture
+        img = sorted((root / "frames" / "v0").glob("*.jpg"))[0]
+        main([
+            "--image_path", str(img), "--task", "cap%tva",
+            "--config", str(cfg_path), "--beam_size", "1",
+        ])
+        out = capsys.readouterr().out
+        assert "[tva]" in out  # one decoded caption line per group

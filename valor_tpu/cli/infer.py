@@ -110,11 +110,22 @@ def main(argv=None):
         batch["question_prompt"] = np.asarray(q, np.int32)[None]
 
     model = VALORModel(cfg.model)
+    # init with compute_loss=True: the loss-free forward returns before the
+    # fusion decoder runs (models/valor.py forward_cap/forward_qa), so a
+    # compute_loss=False init would create NO fusion/decoder params and the
+    # checkpoint restore below would silently drop them from its template —
+    # generation then dies with ScopeParamNotFoundError.  The loss path
+    # additionally needs text tokens; a [1,2] CLS/SEP row suffices for
+    # shape-free param creation.
+    init_batch = dict(batch)
+    tok_row = np.asarray([[101, 102]], np.int32)
+    init_batch.setdefault("bert_tokens", tok_row)
+    init_batch.setdefault("clip_tokens", tok_row)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
-        batch,
+        init_batch,
         spec,
-        False,
+        True,
         False,
     )["params"]
     if args.checkpoint:

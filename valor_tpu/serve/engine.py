@@ -1,0 +1,337 @@
+"""Continuous-batching inference engine over the compiled decode programs.
+
+The reference ships a one-video CLI (`inference.py:19-321`) — one request,
+one forward, no batching.  On TPU that leaves most of the chip idle: the
+fixed-buffer decode program (eval/generate.py) is memory-bandwidth-bound
+and its cost is nearly flat in batch size, so serving throughput is won by
+*filling batches*, not by faster single-request paths (measured: batch-64
+greedy decode runs at ~156 captions/s/chip vs ~2.4 for batch 1 — see
+PERF_NOTES.md "Generation (serving) bench").
+
+This engine is the production answer: callers `submit()` single items from
+any thread; a background worker coalesces compatible requests into the
+largest batch available within a latency budget, pads to a fixed *bucket*
+size so every batch reuses one of a handful of compiled programs (zero
+retrace in steady state — the same `Generator` program cache that
+validate_cap uses), runs the decode, and resolves per-request futures.
+
+Design points, all TPU-motivated:
+  * Static shape buckets.  XLA programs are shape-specialised; admitting
+    arbitrary batch sizes would compile an unbounded program family (4-25
+    minutes each on the tunneled runtime).  Batches are padded up to the
+    smallest configured bucket by repeating the first row — rows are
+    independent in every decode path (per-row attention, per-row media
+    cross-attention; no cross-batch op), so padding cannot perturb real
+    rows, and the pad rows' outputs are sliced off.
+  * Compatibility keys.  Requests only coalesce when they can share one
+    compiled program AND one batch: same per-item tensor signature
+    (shape+dtype of each media/prompt field) and same decode parameters
+    (modality group, caption_type, max_len, beam, mode).  Each key gets
+    its own FIFO lane; lanes are served oldest-request-first.
+  * One worker thread owns the device.  JAX dispatch is serialised per
+    process anyway; a single consumer keeps program-cache access and
+    stats lock-free on the hot path and makes shutdown deterministic.
+  * Latency budget, not fixed ticks.  A batch launches as soon as it is
+    full, or when its oldest request has waited `max_wait_ms` — the
+    standard dynamic-batching contract (latency bound per request,
+    throughput bound by bucket occupancy).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ServeConfig", "InferenceEngine"]
+
+# batch fields the engine understands -> per-ITEM rank (batched rank is +1).
+# Anything else in an item is rejected so silent key typos don't produce
+# media-less generations.  Ranks follow the production collate
+# (data/pipeline.py): video [F,H,W,3], spectrograms [n_clips,mel,T],
+# waveforms [n_clips,L], valid_frames [n_clips], prompts [L].
+_ITEM_RANKS = {
+    "video_pixels": 4,
+    "audio_spectrograms": 3,
+    "audio_waveforms": 2,
+    "audio_valid_frames": 1,
+    "question_prompt": 1,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Engine knobs.
+
+    buckets: allowed batch sizes, ascending.  Every launched batch is
+      padded up to one of these, so the compiled-program family is bounded
+      by len(buckets) per request-compatibility key.
+    max_wait_ms: launch a partial batch once its oldest request has waited
+      this long.  0 launches immediately (useful for tests / offline).
+    group: default modality group ("tva", "tv", "ta", "t").
+    """
+
+    buckets: Tuple[int, ...] = (1, 4, 16, 64)
+    max_wait_ms: float = 10.0
+    group: str = "tva"
+    caption_type: str = "unimlm"
+    max_len: int = 30
+    beam_size: int = 1
+    mode: str = "greedy"
+    prompt_key: str = "prompt_tokens_caption"
+
+    def __post_init__(self):
+        if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
+            raise ValueError(f"buckets must be ascending and non-empty: {self.buckets}")
+
+
+class _Request:
+    __slots__ = ("item", "key", "future", "t_submit", "t_launch")
+
+    def __init__(self, item, key):
+        self.item = item
+        self.key = key
+        self.future: Future = Future()
+        self.t_submit = time.monotonic()
+        self.t_launch = 0.0
+
+
+def _signature(item: Dict[str, np.ndarray]) -> Tuple:
+    return tuple((k, v.shape, str(v.dtype)) for k, v in sorted(item.items()))
+
+
+class InferenceEngine:
+    """Dynamic-batching server around ``eval.generate``.
+
+    Construct with a built model + params (e.g. from ``cli.build``), then
+    ``submit()`` per-item dicts (media tensors WITHOUT the batch dim, or
+    with a leading 1) from any number of threads.  Each call returns a
+    Future resolving to ``{"sequences": [max_len] int32, "logprobs": ...,
+    "latency_s": float, "batch_size": int, "bucket": int}``.
+
+    Use as a context manager or call ``shutdown()`` — pending requests are
+    drained before the worker exits.
+    """
+
+    def __init__(self, model, params, config: Optional[ServeConfig] = None,
+                 prompts: Optional[Dict[str, np.ndarray]] = None):
+        from valor_tpu.eval import generate as gen
+
+        self.model = model
+        self.params = params
+        self.cfg = config or ServeConfig()
+        # task prompts keyed by group, each [1, L] (data/prompts.py); the
+        # decode program broadcasts a leading-1 prompt over the batch.
+        self.prompts = prompts or {}
+        self._gen = gen.get_generator(model)
+        self._lock = threading.Condition()
+        self._lanes: "collections.OrderedDict[Tuple, collections.deque]" = (
+            collections.OrderedDict()
+        )
+        self._stopping = False
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "rows_run": 0,      # incl. padding
+            "rows_real": 0,
+            "queue_s": [],
+            "latency_s": [],
+            "occupancy": [],
+        }
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="valor-serve-worker")
+        self._worker.start()
+
+    # -- public --------------------------------------------------------------
+    def submit(self, item: Dict[str, Any], *, group: Optional[str] = None,
+               max_len: Optional[int] = None, beam_size: Optional[int] = None,
+               mode: Optional[str] = None) -> Future:
+        c = self.cfg
+        group = group or c.group
+        norm: Dict[str, np.ndarray] = {}
+        for k, v in item.items():
+            rank = _ITEM_RANKS.get(k)
+            if rank is None:
+                raise KeyError(
+                    f"unknown item field {k!r}; expected {tuple(_ITEM_RANKS)}"
+                )
+            a = np.asarray(v)
+            if a.ndim == rank + 1 and a.shape[0] == 1:
+                a = a[0]  # batched-with-leading-1 form
+            if a.ndim != rank:
+                raise ValueError(
+                    f"{k}: expected rank {rank} per-item tensor "
+                    f"(or leading-1 batch), got shape {a.shape}"
+                )
+            norm[k] = a
+        if not norm:
+            raise ValueError("empty item: provide at least one media field")
+        key = (
+            _signature(norm), group, c.caption_type,
+            max_len or c.max_len, beam_size or c.beam_size, mode or c.mode,
+        )
+        req = _Request(norm, key)
+        with self._lock:
+            if self._stopping:
+                raise RuntimeError("engine is shut down")
+            self._lanes.setdefault(key, collections.deque()).append(req)
+            self._stats["requests"] += 1
+            self._lock.notify()
+        return req.future
+
+    def generate(self, item: Dict[str, Any], **kw) -> Dict[str, Any]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(item, **kw).result()
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            s = self._stats
+            lat = sorted(s["latency_s"])
+            q = sorted(s["queue_s"])
+            occ = s["occupancy"]
+
+            def pct(xs, p):
+                return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else 0.0
+
+            return {
+                "requests": s["requests"],
+                "batches": s["batches"],
+                "rows_real": s["rows_real"],
+                "rows_run": s["rows_run"],
+                "pad_fraction": 1.0 - s["rows_real"] / max(1, s["rows_run"]),
+                "mean_occupancy": float(np.mean(occ)) if occ else 0.0,
+                "latency_p50_s": pct(lat, 0.50),
+                "latency_p95_s": pct(lat, 0.95),
+                "latency_p99_s": pct(lat, 0.99),
+                "queue_p50_s": pct(q, 0.50),
+                "queue_p95_s": pct(q, 0.95),
+                "compiled_programs": {str(k): v for k, v in self._gen.stats().items()},
+            }
+
+    def reset_stats(self):
+        """Zero the counters (benchmarks call this after warmup)."""
+        with self._lock:
+            self._stats = {
+                "requests": 0, "batches": 0, "rows_run": 0, "rows_real": 0,
+                "queue_s": [], "latency_s": [], "occupancy": [],
+            }
+
+    def shutdown(self, drain: bool = True):
+        with self._lock:
+            self._stopping = True
+            if not drain:
+                for lane in self._lanes.values():
+                    while lane:
+                        lane.popleft().future.cancel()
+                self._lanes.clear()
+            self._lock.notify_all()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False
+
+    # -- worker --------------------------------------------------------------
+    def _pick(self) -> Optional[List[_Request]]:
+        """Under the lock: pop the next launchable batch, or None."""
+        c = self.cfg
+        now = time.monotonic()
+        best_key, best_age = None, -1.0
+        for key, lane in self._lanes.items():
+            if not lane:
+                continue
+            age = now - lane[0].t_submit
+            if len(lane) >= c.buckets[-1] or self._stopping or (
+                c.max_wait_ms >= 0 and age * 1e3 >= c.max_wait_ms
+            ):
+                if age > best_age:
+                    best_key, best_age = key, age
+        if best_key is None:
+            return None
+        lane = self._lanes[best_key]
+        n = min(len(lane), c.buckets[-1])
+        return [lane.popleft() for _ in range(n)]
+
+    def _deadline(self) -> Optional[float]:
+        """Under the lock: seconds until the oldest pending request matures."""
+        c = self.cfg
+        if c.max_wait_ms < 0:  # age trigger disabled: launch only when full
+            return None
+        oldest = None
+        for lane in self._lanes.values():
+            if lane:
+                t = lane[0].t_submit
+                oldest = t if oldest is None else min(oldest, t)
+        if oldest is None:
+            return None
+        return max(0.0, oldest + c.max_wait_ms / 1e3 - time.monotonic())
+
+    def _loop(self):
+        while True:
+            with self._lock:
+                batch = self._pick()
+                while batch is None:
+                    if self._stopping and not any(self._lanes.values()):
+                        return
+                    self._lock.wait(timeout=self._deadline())
+                    batch = self._pick()
+            try:
+                self._run(batch)
+            except Exception as e:  # surface to every caller, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run(self, reqs: List[_Request]):
+        from valor_tpu.eval import generate as gen
+
+        c = self.cfg
+        key = reqs[0].key
+        _, group, caption_type, max_len, beam_size, mode = key
+        n = len(reqs)
+        bucket = next((b for b in c.buckets if b >= n), c.buckets[-1])
+        # pad by repeating row 0 — rows are independent in every decode path
+        idx = list(range(n)) + [0] * (bucket - n)
+        batch: Dict[str, Any] = {}
+        for k in reqs[0].item:
+            batch[k] = np.stack([reqs[i % n].item[k] for i in idx])
+        if "question_prompt" not in batch:
+            p = self.prompts.get(group)
+            if p is not None:
+                batch[c.prompt_key] = np.asarray(p)
+        t0 = time.monotonic()
+        out = gen.generate(
+            self.model, self.params, batch, (group,),
+            caption_type=caption_type, max_len=max_len,
+            beam_size=beam_size, mode=mode,
+            prompt_key=c.prompt_key,
+        )
+        seqs = np.asarray(out[f"generated_sequences_{group}"])
+        logps = np.asarray(out[f"logprobs_{group}"])
+        t1 = time.monotonic()
+        with self._lock:
+            s = self._stats
+            s["batches"] += 1
+            s["rows_run"] += bucket
+            s["rows_real"] += n
+            s["occupancy"].append(n / bucket)
+        for i, r in enumerate(reqs):
+            lat = t1 - r.t_submit
+            with self._lock:
+                self._stats["latency_s"].append(lat)
+                self._stats["queue_s"].append(t0 - r.t_submit)
+            r.future.set_result({
+                "sequences": seqs[i],
+                "logprobs": logps[i],
+                "latency_s": lat,
+                "batch_size": n,
+                "bucket": bucket,
+            })
