@@ -134,15 +134,7 @@ class InferenceEngine:
             collections.OrderedDict()
         )
         self._stopping = False
-        self._stats = {
-            "requests": 0,
-            "batches": 0,
-            "rows_run": 0,      # incl. padding
-            "rows_real": 0,
-            "queue_s": [],
-            "latency_s": [],
-            "occupancy": [],
-        }
+        self._stats = self._fresh_stats()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="valor-serve-worker")
         self._worker.start()
@@ -213,13 +205,22 @@ class InferenceEngine:
                 "compiled_programs": {str(k): v for k, v in self._gen.stats().items()},
             }
 
+    @staticmethod
+    def _fresh_stats() -> Dict[str, Any]:
+        # bounded histories: a resident server must not leak one float per
+        # request forever; percentiles over the trailing window are the
+        # operationally useful ones anyway
+        return {
+            "requests": 0, "batches": 0, "rows_run": 0, "rows_real": 0,
+            "queue_s": collections.deque(maxlen=10000),
+            "latency_s": collections.deque(maxlen=10000),
+            "occupancy": collections.deque(maxlen=10000),
+        }
+
     def reset_stats(self):
         """Zero the counters (benchmarks call this after warmup)."""
         with self._lock:
-            self._stats = {
-                "requests": 0, "batches": 0, "rows_run": 0, "rows_real": 0,
-                "queue_s": [], "latency_s": [], "occupancy": [],
-            }
+            self._stats = self._fresh_stats()
 
     def shutdown(self, drain: bool = True):
         with self._lock:
