@@ -258,3 +258,201 @@ class TestHTTP:
                     assert out["batch_size"] == 4  # coalesced, not serial
             finally:
                 server.shutdown()
+
+
+class TestAdmission:
+    def test_overload_sheds_with_503_semantics(self):
+        # engine-level: past max_pending, submit raises EngineOverloaded
+        # instead of growing the lane deque without bound
+        from valor_tpu.serve import EngineOverloaded
+
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        # max_wait_ms=-1 + bucket 4: nothing launches while we stuff the queue
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5,
+                          max_pending=3)
+        eng = InferenceEngine(model, params, cfg)
+        try:
+            futs = [eng.submit({"video_pixels": pixels[i % 4]}) for i in range(3)]
+            with pytest.raises(EngineOverloaded):
+                eng.submit({"video_pixels": pixels[3]})
+            assert eng.stats()["shed"] == 1
+            assert eng.stats()["queue_depth"] == 3
+            # capacity frees once the batch launches: add the 4th row so the
+            # bucket fills and everything drains
+            cfg2 = eng.cfg
+            assert cfg2.max_pending == 3
+        finally:
+            eng.shutdown()  # drain launches the partial batch
+        for f in futs:
+            assert f.result(timeout=0)["sequences"].shape == (5,)
+
+    def test_cancelled_future_does_not_poison_batch(self):
+        # a caller cancelling a queued request must not discard the other
+        # requests' computed results (set_result on a cancelled future
+        # raises InvalidStateError without the guard)
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5)
+        eng = InferenceEngine(model, params, cfg)
+        try:
+            f0 = eng.submit({"video_pixels": pixels[0]})
+            f1 = eng.submit({"video_pixels": pixels[1]})
+            assert f1.cancel()  # still queued -> cancellable
+            f2 = eng.submit({"video_pixels": pixels[2]})
+            f3 = eng.submit({"video_pixels": pixels[3]})
+        finally:
+            eng.shutdown()
+        assert f0.result(timeout=0)["sequences"].shape == (5,)
+        assert f2.result(timeout=0)["sequences"].shape == (5,)
+        assert f3.result(timeout=0)["sequences"].shape == (5,)
+
+    def test_phase_breakdown_in_stats(self):
+        model, params, batch = _setup()
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5)
+        with InferenceEngine(model, params, cfg) as eng:
+            futs = [eng.submit(it) for it in _items(batch, 4)]
+            [f.result(timeout=120) for f in futs]
+            s = eng.stats()
+        assert set(s["batch_phase_mean_s"]) == {"assemble", "device", "fanout"}
+        assert s["batch_phase_mean_s"]["device"] > 0.0
+        total = sum(s["batch_phase_fraction"].values())
+        assert total == pytest.approx(1.0, abs=0.01)
+
+    def test_engine_prompt_injection(self):
+        # an engine built with prompts must produce the same outputs as a
+        # direct generate call with the prompt in the batch
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        prompt = np.asarray([[101, 7, 8, 9, 102]], np.int32)
+        direct = np.asarray(
+            gen.generate(model, params,
+                         {"video_pixels": pixels,
+                          "prompt_tokens_caption": prompt},
+                         ("tv",), max_len=5)["generated_sequences_tv"]
+        )
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5)
+        seen_batches = []
+        with InferenceEngine(model, params, cfg, prompts={"tv": prompt}) as eng:
+            # spy on the pinned generator: record the batch the engine
+            # actually sends so a silently-dropped prompt cannot pass
+            real_gen = eng._gen
+
+            class _Spy:
+                def generate(self, params, batch, groups, **kw):
+                    seen_batches.append(dict(batch))
+                    return real_gen.generate(params, batch, groups, **kw)
+
+            eng._gen = _Spy()
+            futs = [eng.submit(it) for it in _items(batch, 4)]
+            results = [f.result(timeout=120) for f in futs]
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r["sequences"], direct[i])
+        assert seen_batches and all(
+            np.array_equal(b.get("prompt_tokens_caption"), prompt)
+            for b in seen_batches
+        )
+
+
+class TestHTTPErrors:
+    def _server(self, max_pending=1024, **handler_kw):
+        from valor_tpu.cli.serve import start_server
+
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+
+        def featurize(payload):
+            if payload.get("boom"):
+                raise OSError("backend exploded")  # internal -> 500
+            return {"video_pixels": pixels[int(payload["row"])]}
+
+        cfg = ServeConfig(buckets=(1, 4), max_wait_ms=5, group="tv", max_len=5,
+                          max_pending=max_pending)
+        eng = InferenceEngine(model, params, cfg)
+        server = start_server(eng, featurize, lambda s: "x", port=0, **handler_kw)
+        return eng, server
+
+    @staticmethod
+    def _post(server, payload, raw=None):
+        import urllib.error
+        import urllib.request
+
+        host, port = server.server_address
+        req = urllib.request.Request(
+            f"http://{host}:{port}/generate",
+            data=raw if raw is not None else json.dumps(payload).encode(),
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_error_code_contract(self):
+        eng, server = self._server()
+        try:
+            code, out = self._post(server, {"row": 0})
+            assert code == 200
+            # validation errors -> 400
+            code, out = self._post(server, {"row": "not-an-int"})
+            assert code == 400 and "error" in out
+            code, out = self._post(server, None, raw=b"{not json")
+            assert code == 400
+            # internal featurizer/engine failure -> 500, not 400
+            code, out = self._post(server, {"boom": True})
+            assert code == 500 and "OSError" in out["error"]
+        finally:
+            server.shutdown()
+            eng.shutdown()
+
+    def test_body_size_limit_413(self):
+        eng, server = self._server(max_body_bytes=100)
+        try:
+            code, out = self._post(server, {"row": 0, "pad": "x" * 1000})
+            assert code == 413 and "limit" in out["error"]
+        finally:
+            server.shutdown()
+            eng.shutdown()
+
+    def test_overload_returns_503(self):
+        # deterministic shed: age trigger off (max_wait_ms=-1) + bucket 4
+        # means a single queued request can never launch; with
+        # max_pending=1 the second POST must shed with 503
+        from valor_tpu.cli.serve import start_server
+
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+
+        def featurize(payload):
+            return {"video_pixels": pixels[int(payload["row"])]}
+
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5,
+                          max_pending=1)
+        eng = InferenceEngine(model, params, cfg)
+        server = start_server(eng, featurize, lambda s: "x", port=0)
+        try:
+            import threading as th
+
+            first = {}
+
+            def parked():
+                first["resp"] = self._post(server, {"row": 0})
+
+            t = th.Thread(target=parked)
+            t.start()
+            # wait until the parked request is queued
+            for _ in range(200):
+                if eng.stats()["queue_depth"] >= 1:
+                    break
+                import time as _t
+
+                _t.sleep(0.01)
+            code, out = self._post(server, {"row": 1})
+            assert code == 503 and out.get("retry") is True
+            s = eng.stats()
+            assert s["shed"] >= 1 and s["queue_depth"] == 1
+        finally:
+            server.shutdown()
+            eng.shutdown()  # drain launches the parked partial batch
+            t.join(timeout=120)
+        assert first["resp"][0] == 200

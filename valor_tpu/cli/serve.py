@@ -42,12 +42,22 @@ FeaturizeFn = Callable[[Dict[str, Any]], Dict[str, np.ndarray]]
 DecodeFn = Callable[[np.ndarray], str]
 
 
-def make_handler(engine, featurize: FeaturizeFn, decode: DecodeFn):
+def make_handler(engine, featurize: FeaturizeFn, decode: DecodeFn,
+                 *, request_timeout_s: float = 300.0,
+                 max_body_bytes: int = 1 << 20):
     """Build the request-handler class around an engine + codecs.
 
     Split from ``main`` so tests can mount a tiny model and a fake
     featurizer without checkpoints or ffmpeg.
+
+    Error contract: client mistakes (bad JSON, unknown fields, wrong
+    shapes) are 400; oversized bodies 413; engine admission shed 503;
+    a request that exceeds ``request_timeout_s`` (wedged device) 504;
+    anything else — internal engine/device failure — 500.
     """
+    from concurrent.futures import TimeoutError as FutureTimeout
+
+    from valor_tpu.serve.engine import EngineOverloaded
 
     class Handler(BaseHTTPRequestHandler):
         # engine/featurize/decode close over the server state
@@ -76,6 +86,11 @@ def make_handler(engine, featurize: FeaturizeFn, decode: DecodeFn):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._json(413, {
+                        "error": f"body {n} bytes exceeds limit {max_body_bytes}"
+                    })
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 item = featurize(payload)
                 kw = {}
@@ -84,30 +99,44 @@ def make_handler(engine, featurize: FeaturizeFn, decode: DecodeFn):
                 for k in ("max_len", "beam_size"):
                     if payload.get(k) is not None:
                         kw[k] = int(payload[k])
-                result = engine.generate(item, **kw)
+                result = engine.submit(item, **kw).result(timeout=request_timeout_s)
                 self._json(200, {
                     "text": decode(result["sequences"]),
                     "latency_s": result["latency_s"],
                     "batch_size": result["batch_size"],
                     "bucket": result["bucket"],
                 })
-            except Exception as e:  # noqa: BLE001 — every error becomes a 400
+            except EngineOverloaded as e:
+                self._json(503, {"error": str(e), "retry": True})
+            except FutureTimeout:
+                self._json(504, {
+                    "error": f"request exceeded {request_timeout_s}s"
+                })
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError, FileNotFoundError) as e:
+                # validation errors: the caller's payload is at fault
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 — internal failure
+                LOGGER.exception("serve: internal error")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
 
 def start_server(engine, featurize: FeaturizeFn, decode: DecodeFn,
-                 host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+                 host: str = "127.0.0.1", port: int = 8000,
+                 **handler_kw) -> ThreadingHTTPServer:
     """Start serving on a daemon thread; returns the live server (its
     ``server_address`` carries the bound port when ``port=0``)."""
-    server = ThreadingHTTPServer((host, port), make_handler(engine, featurize, decode))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(engine, featurize, decode, **handler_kw)
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="valor-serve-http")
     t.start()
     return server
 
 
-def _production_featurize(cfg, bert_tok) -> FeaturizeFn:
+def _production_featurize(cfg, bert_tok, prompt_table=None) -> FeaturizeFn:
     from valor_tpu.cli.infer import extract_frames_and_wav
     from valor_tpu.data.pipeline import AudioMapper, VideoMapper
 
@@ -121,7 +150,10 @@ def _production_featurize(cfg, bert_tok) -> FeaturizeFn:
                 datatype="image", encoder_type=cfg.model.video_encoder_type,
                 training=False,
             )
-            item["video_pixels"] = vm[os.path.basename(path)].astype(np.float32)
+            pixels = vm[os.path.basename(path)]
+            if pixels is None:  # mapper's corrupt-sample signal -> client 400
+                raise FileNotFoundError(f"unreadable image: {path}")
+            item["video_pixels"] = pixels.astype(np.float32)
             item["audio_spectrograms"] = np.zeros(
                 (int(payload.get("audio_sample_num", 2)),
                  cfg.model.audio_melbins, cfg.model.audio_target_length),
@@ -136,7 +168,11 @@ def _production_featurize(cfg, bert_tok) -> FeaturizeFn:
                     datatype="video", encoder_type=cfg.model.video_encoder_type,
                     training=False,
                 )
-                item["video_pixels"] = vm["frames"].astype(np.float32)
+                pixels = vm["frames"]
+                if pixels is None:
+                    raise FileNotFoundError(
+                        f"no readable frames in: {payload['video_path']}")
+                item["video_pixels"] = pixels.astype(np.float32)
                 am = AudioMapper(
                     tmp, sample_num=int(payload.get("audio_sample_num", 2)),
                     melbins=cfg.model.audio_melbins,
@@ -148,6 +184,14 @@ def _production_featurize(cfg, bert_tok) -> FeaturizeFn:
         if payload.get("question"):
             q = bert_tok.encode(payload["question"])
             q = [bert_tok.cls_token_id] + q + [bert_tok.sep_token_id]
+            if prompt_table is not None:
+                # prompt-trained checkpoints expect the QA task-prompt body
+                # spliced after [CLS], exactly as eval/train inject it
+                # (data/prompts.py PromptTable.inject; reference
+                # pretrain.py:1270-1321) — without it, serving generations
+                # silently diverge from cli.evaluate behavior
+                body = prompt_table.qa_body()[0].tolist()
+                q = q[:1] + body + q[1:]
             # fixed-length pad so same-question-length requests batch together
             L = int(payload.get("question_pad", 32))
             q = (q + [0] * L)[:L]
@@ -168,6 +212,10 @@ def main(argv=None):
                         help="max batch; buckets are 1..bucket powers of 4")
     parser.add_argument("--max_wait_ms", type=float, default=25.0)
     parser.add_argument("--beam_size", type=int, default=1)
+    parser.add_argument("--max_pending", type=int, default=1024,
+                        help="queued-request admission bound (503 past it)")
+    parser.add_argument("--request_timeout_s", type=float, default=300.0)
+    parser.add_argument("--max_body_bytes", type=int, default=1 << 20)
     args = parser.parse_args(argv)
 
     import jax
@@ -181,7 +229,7 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     spec = parse_task(args.task)
-    bert_tok, _ = build_tokenizers(cfg.model)
+    bert_tok, clip_tok = build_tokenizers(cfg.model)
     model = VALORModel(cfg.model)
     # compute_loss=True so the fusion decoder's params exist (the loss-free
     # forward returns before the decoder runs — see cli/infer.py init note);
@@ -223,18 +271,30 @@ def main(argv=None):
         b *= 4
     buckets.append(args.bucket)
     group = spec.caption_groups[0]
+    # prompt-trained checkpoints (use_task_prompt, e.g.
+    # configs/pretrain-valor-large.json) inject the caption task prompt in
+    # eval/train via prompted_collate; serving must match or generations
+    # silently diverge from cli.evaluate quality
+    from valor_tpu.data.prompts import maybe_prompt_table
+
+    table = maybe_prompt_table(cfg.model, (bert_tok, clip_tok))
+    prompts = {group: table.caption()} if table is not None else None
     engine = InferenceEngine(
         model, params,
         ServeConfig(
             buckets=tuple(buckets), max_wait_ms=args.max_wait_ms, group=group,
             caption_type=cfg.model.caption_type,
             max_len=cfg.model.max_generation_len, beam_size=args.beam_size,
+            max_pending=args.max_pending,
         ),
+        prompts=prompts,
     )
     server = start_server(
-        engine, _production_featurize(cfg, bert_tok),
+        engine, _production_featurize(cfg, bert_tok, table),
         lambda seq: decode_sequence(bert_tok, seq),
         host=args.host, port=args.port,
+        request_timeout_s=args.request_timeout_s,
+        max_body_bytes=args.max_body_bytes,
     )
     LOGGER.info("serving %s on http://%s:%d (bucket %d, wait %.0f ms)",
                 args.task, *server.server_address, args.bucket, args.max_wait_ms)

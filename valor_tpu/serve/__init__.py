@@ -1,3 +1,3 @@
-from valor_tpu.serve.engine import InferenceEngine, ServeConfig
+from valor_tpu.serve.engine import EngineOverloaded, InferenceEngine, ServeConfig
 
-__all__ = ["InferenceEngine", "ServeConfig"]
+__all__ = ["InferenceEngine", "ServeConfig", "EngineOverloaded"]

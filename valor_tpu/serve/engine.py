@@ -48,7 +48,14 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["ServeConfig", "InferenceEngine"]
+__all__ = ["ServeConfig", "InferenceEngine", "EngineOverloaded"]
+
+
+class EngineOverloaded(RuntimeError):
+    """Raised by :meth:`InferenceEngine.submit` when the pending-request
+    queue is at ``ServeConfig.max_pending``.  A burst past the engine's
+    throughput must shed load (HTTP 503 upstream) instead of growing the
+    lane deques — and the caller's latency — without bound."""
 
 # batch fields the engine understands -> per-ITEM rank (batched rank is +1).
 # Anything else in an item is rejected so silent key typos don't produce
@@ -84,6 +91,11 @@ class ServeConfig:
     beam_size: int = 1
     mode: str = "greedy"
     prompt_key: str = "prompt_tokens_caption"
+    # admission bound: total queued (not-yet-launched) requests across all
+    # lanes.  submit() raises EngineOverloaded past this — about 16 full
+    # batches of backlog at the default bucket, i.e. a few seconds of work,
+    # after which queueing only inflates latency.  0 disables the bound.
+    max_pending: int = 1024
 
     def __post_init__(self):
         if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
@@ -133,6 +145,15 @@ class InferenceEngine:
         self._lanes: "collections.OrderedDict[Tuple, collections.deque]" = (
             collections.OrderedDict()
         )
+        self._pending = 0  # queued, not yet launched (admission bound)
+        # pinned per-(key,bucket) host assembly buffers: steady-state
+        # batches copy rows into a reused array instead of allocating a
+        # fresh ~150 MB np.stack per batch (the worker is the only writer,
+        # and the previous batch's H2D transfer has completed before reuse
+        # because _run blocks on the device output readback)
+        self._buffers: "collections.OrderedDict[Tuple, Dict[str, np.ndarray]]" = (
+            collections.OrderedDict()
+        )
         self._stopping = False
         self._stats = self._fresh_stats()
         self._worker = threading.Thread(target=self._loop, daemon=True,
@@ -171,7 +192,14 @@ class InferenceEngine:
         with self._lock:
             if self._stopping:
                 raise RuntimeError("engine is shut down")
+            if self.cfg.max_pending and self._pending >= self.cfg.max_pending:
+                self._stats["shed"] += 1
+                raise EngineOverloaded(
+                    f"{self._pending} requests pending (max_pending="
+                    f"{self.cfg.max_pending}); retry later"
+                )
             self._lanes.setdefault(key, collections.deque()).append(req)
+            self._pending += 1
             self._stats["requests"] += 1
             self._lock.notify()
         return req.future
@@ -190,9 +218,21 @@ class InferenceEngine:
             def pct(xs, p):
                 return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else 0.0
 
+            # per-batch phase breakdown (VERDICT r4 #2): where a batch's
+            # wall time goes — host assembly (row copies into the pinned
+            # buffer), device (generate + result readback), fan-out
+            # (future delivery).  Request-side queueing is the queue_*
+            # percentiles below.
+            phases = {
+                p: float(np.mean(s[f"phase_{p}_s"])) if s[f"phase_{p}_s"] else 0.0
+                for p in ("assemble", "device", "fanout")
+            }
+            total = sum(phases.values()) or 1.0
             return {
                 "requests": s["requests"],
                 "batches": s["batches"],
+                "shed": s["shed"],
+                "queue_depth": self._pending,
                 "rows_real": s["rows_real"],
                 "rows_run": s["rows_run"],
                 "pad_fraction": 1.0 - s["rows_real"] / max(1, s["rows_run"]),
@@ -202,6 +242,10 @@ class InferenceEngine:
                 "latency_p99_s": pct(lat, 0.99),
                 "queue_p50_s": pct(q, 0.50),
                 "queue_p95_s": pct(q, 0.95),
+                "batch_phase_mean_s": {k: round(v, 4) for k, v in phases.items()},
+                "batch_phase_fraction": {
+                    k: round(v / total, 4) for k, v in phases.items()
+                },
                 "compiled_programs": {str(k): v for k, v in self._gen.stats().items()},
             }
 
@@ -211,10 +255,13 @@ class InferenceEngine:
         # request forever; percentiles over the trailing window are the
         # operationally useful ones anyway
         return {
-            "requests": 0, "batches": 0, "rows_run": 0, "rows_real": 0,
+            "requests": 0, "batches": 0, "shed": 0, "rows_run": 0, "rows_real": 0,
             "queue_s": collections.deque(maxlen=10000),
             "latency_s": collections.deque(maxlen=10000),
             "occupancy": collections.deque(maxlen=10000),
+            "phase_assemble_s": collections.deque(maxlen=10000),
+            "phase_device_s": collections.deque(maxlen=10000),
+            "phase_fanout_s": collections.deque(maxlen=10000),
         }
 
     def reset_stats(self):
@@ -230,6 +277,7 @@ class InferenceEngine:
                     while lane:
                         lane.popleft().future.cancel()
                 self._lanes.clear()
+                self._pending = 0
             self._lock.notify_all()
         self._worker.join()
 
@@ -259,6 +307,7 @@ class InferenceEngine:
             return None
         lane = self._lanes[best_key]
         n = min(len(lane), c.buckets[-1])
+        self._pending -= n
         return [lane.popleft() for _ in range(n)]
 
     def _deadline(self) -> Optional[float]:
@@ -291,26 +340,57 @@ class InferenceEngine:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _run(self, reqs: List[_Request]):
-        from valor_tpu.eval import generate as gen
+    def _assemble(self, reqs: List[_Request], bucket: int) -> Dict[str, Any]:
+        """Copy request rows into the pinned (key, bucket) buffer, pad rows
+        beyond ``len(reqs)`` with row 0 — rows are independent in every
+        decode path, so padding cannot perturb real rows."""
+        bkey = (reqs[0].key, bucket)
+        buf = self._buffers.get(bkey)
+        if buf is None:
+            buf = {
+                k: np.empty((bucket,) + v.shape, v.dtype)
+                for k, v in reqs[0].item.items()
+            }
+            self._buffers[bkey] = buf
+            while len(self._buffers) > 8:  # bound resident buffer memory
+                self._buffers.popitem(last=False)
+        self._buffers.move_to_end(bkey)
+        n = len(reqs)
+        for k, arr in buf.items():
+            for i in range(n):
+                arr[i] = reqs[i].item[k]
+            if n < bucket:
+                arr[n:] = arr[0]
+        return dict(buf)
 
+    @staticmethod
+    def _deliver(r: _Request, payload, *, error: bool = False):
+        """Resolve a future, skipping ones the caller already cancelled
+        (set_result on a cancelled future raises InvalidStateError)."""
+        if r.future.set_running_or_notify_cancel():
+            if error:
+                r.future.set_exception(payload)
+            else:
+                r.future.set_result(payload)
+
+    def _run(self, reqs: List[_Request]):
         c = self.cfg
         key = reqs[0].key
         _, group, caption_type, max_len, beam_size, mode = key
         n = len(reqs)
         bucket = next((b for b in c.buckets if b >= n), c.buckets[-1])
-        # pad by repeating row 0 — rows are independent in every decode path
-        idx = list(range(n)) + [0] * (bucket - n)
-        batch: Dict[str, Any] = {}
-        for k in reqs[0].item:
-            batch[k] = np.stack([reqs[i % n].item[k] for i in idx])
+        t_q = time.monotonic()
+        batch = self._assemble(reqs, bucket)
         if "question_prompt" not in batch:
             p = self.prompts.get(group)
             if p is not None:
                 batch[c.prompt_key] = np.asarray(p)
         t0 = time.monotonic()
-        out = gen.generate(
-            self.model, self.params, batch, (group,),
+        # the PINNED generator: module-level gen.generate resolves through a
+        # small LRU that other in-process model builds can evict, silently
+        # recompiling mid-serving while stats() reports the stale cache
+        out = self._gen.generate(
+            self.params, batch, (group,),
             caption_type=caption_type, max_len=max_len,
             beam_size=beam_size, mode=mode,
             prompt_key=c.prompt_key,
@@ -318,21 +398,24 @@ class InferenceEngine:
         seqs = np.asarray(out[f"generated_sequences_{group}"])
         logps = np.asarray(out[f"logprobs_{group}"])
         t1 = time.monotonic()
+        for i, r in enumerate(reqs):
+            self._deliver(r, {
+                "sequences": seqs[i],
+                "logprobs": logps[i],
+                "latency_s": t1 - r.t_submit,
+                "batch_size": n,
+                "bucket": bucket,
+            })
+        t2 = time.monotonic()
         with self._lock:
             s = self._stats
             s["batches"] += 1
             s["rows_run"] += bucket
             s["rows_real"] += n
             s["occupancy"].append(n / bucket)
-        for i, r in enumerate(reqs):
-            lat = t1 - r.t_submit
-            with self._lock:
-                self._stats["latency_s"].append(lat)
-                self._stats["queue_s"].append(t0 - r.t_submit)
-            r.future.set_result({
-                "sequences": seqs[i],
-                "logprobs": logps[i],
-                "latency_s": lat,
-                "batch_size": n,
-                "bucket": bucket,
-            })
+            s["phase_assemble_s"].append(t0 - t_q)
+            s["phase_device_s"].append(t1 - t0)
+            s["phase_fanout_s"].append(t2 - t1)
+            for r in reqs:
+                s["latency_s"].append(t1 - r.t_submit)
+                s["queue_s"].append(t_q - r.t_submit)
