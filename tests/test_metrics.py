@@ -350,11 +350,19 @@ class TestMeteorLiteCalibration:
         3.10 with exact+Porter-stem stages, stub wordnet — the stages
         meteor_lite implements).  The fixture is checked in
         (tests/data/meteor_calibration.json), so the envelope holds even
-        where nltk is absent.  Residual disagreement is alignment-choice
-        ambiguity on duplicate words (both implementations are greedy
-        maximum matchings; METEOR leaves tie-breaks unspecified):
-        47/50 segments agree to machine precision, max |err| < 0.072,
-        mean < 0.004."""
+        where nltk is absent.
+
+        Root cause of the residual 2/50 (VERDICT round-4 #6): alignment
+        tie-breaks on duplicated words.  METEOR's spec (Banerjee & Lavie
+        2005 §2.1) picks, among maximum matchings, the one with the FEWEST
+        chunks — which _align now implements exactly.  nltk instead scans
+        the hypothesis in reverse and takes the LAST unmatched reference
+        slot; on fixture segments 17 and 22 that heuristic lands on a
+        chunk-SUBOPTIMAL matching, so nltk under-scores and ours is the
+        spec-correct (strictly higher) value.  Every segment where nltk's
+        heuristic reaches the chunk-minimal matching agrees to machine
+        precision: 48/50, and both named divergences satisfy
+        ours >= nltk with |err| < 0.04."""
         import json as J
         import os
 
@@ -363,13 +371,32 @@ class TestMeteorLiteCalibration:
         path = os.path.join(os.path.dirname(__file__), "data", "meteor_calibration.json")
         pairs = J.load(open(path))
         assert len(pairs) == 50
-        diffs = []
-        for item in pairs:
+        diffs, divergent = [], []
+        for i, item in enumerate(pairs):
             ours = max(
                 _meteor_segment(item["hyp"].split(), r.split())
                 for r in item["refs"]
             )
             diffs.append(abs(ours - item["nltk_score"]))
-        assert sum(d < 1e-9 for d in diffs) >= 45, diffs
-        assert max(diffs) < 0.08, max(diffs)
-        assert sum(diffs) / len(diffs) < 0.005
+            if diffs[-1] > 1e-9:
+                divergent.append((i, ours, item["nltk_score"]))
+        assert sum(d < 1e-9 for d in diffs) >= 48, divergent
+        # the named cause bounds the direction too: every divergence is
+        # ours > nltk (fewer chunks -> smaller penalty), never the reverse
+        assert all(ours > nltk for _, ours, nltk in divergent), divergent
+        assert max(diffs) < 0.04, max(diffs)
+        assert sum(diffs) / len(diffs) < 0.002
+
+    def test_min_chunk_alignment_on_duplicates(self):
+        """_align resolves duplicated-word ambiguity to the fewest-chunk
+        maximum matching (the METEOR tie-break).  'the' appears at ref
+        positions 3 and 6; first-slot greedy would take 3 (4 chunks),
+        the spec-correct choice is 6 (2 chunks)."""
+        from valor_tpu.eval.cococaption import _align, _chunk_count
+
+        hyp = "several birds cooks a song near the lake".split()
+        ref = "several birds cooks the song near the lake".split()
+        pairs = _align(hyp, ref)
+        assert len(pairs) == 7
+        assert _chunk_count(pairs) == 2
+        assert (6, 6) in pairs  # hyp 'the' -> SECOND ref 'the'

@@ -196,28 +196,83 @@ def porter_stem(word: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _chunk_count(pairs) -> int:
+    """Maximal runs contiguous and monotone in BOTH sentences."""
+    if not pairs:
+        return 0
+    c = 1
+    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+        if i1 != i0 + 1 or j1 != j0 + 1:
+            c += 1
+    return c
+
+
+# enumeration bound for the min-chunk alignment search; past it the
+# remaining ambiguous keys fall back to first-slot greedy.  Caption-length
+# segments (<= ~30 tokens, few duplicated words) never get near it.
+_ALIGN_CAP = 256
+
+
 def _align(hyp: List[str], ref: List[str]) -> List[tuple]:
-    """Greedy two-stage unigram alignment: exact matches first, then
-    Porter-stem matches on the leftovers.  Returns (hyp_idx, ref_idx)
-    pairs sorted by hyp position."""
-    pairs = []
-    used_h, used_r = set(), set()
+    """Two-stage unigram alignment: exact matches first, then Porter-stem
+    matches on the leftovers.  Returns (hyp_idx, ref_idx) pairs sorted by
+    hyp position.
+
+    When a word occurs more than once, several maximum matchings exist;
+    METEOR's published tie-break (Banerjee & Lavie 2005 §2.1, and the
+    METEOR-1.5 aligner the reference's jar wraps) picks the matching with
+    the FEWEST chunks.  All maximum matchings here have the same
+    cardinality (per key it is min(#hyp, #ref) occurrences), so the
+    enumeration below only varies WHICH duplicate slots pair up, and the
+    min-chunk candidate is selected at the end.  The search is capped at
+    ``_ALIGN_CAP`` candidates (falling back to first-slot greedy beyond),
+    which no caption-length input approaches."""
+    from itertools import combinations
+
+    # candidates: (pairs tuple, used hyp idx set, used ref idx set)
+    cands = [((), frozenset(), frozenset())]
     for stage in ("exact", "stem"):
         key = (lambda t: t) if stage == "exact" else porter_stem
-        ref_slots: Dict[str, List[int]] = {}
-        for j, t in enumerate(ref):
-            if j not in used_r:
-                ref_slots.setdefault(key(t), []).append(j)
-        for i, t in enumerate(hyp):
-            if i in used_h:
-                continue
-            slots = ref_slots.get(key(t))
-            if slots:
-                j = slots.pop(0)
-                pairs.append((i, j))
-                used_h.add(i)
-                used_r.add(j)
-    return sorted(pairs)
+        nxt = []
+        for pairs, used_h, used_r in cands:
+            hyp_slots: Dict[str, List[int]] = {}
+            for i, t in enumerate(hyp):
+                if i not in used_h:
+                    hyp_slots.setdefault(key(t), []).append(i)
+            ref_slots: Dict[str, List[int]] = {}
+            for j, t in enumerate(ref):
+                if j not in used_r:
+                    ref_slots.setdefault(key(t), []).append(j)
+            per_key = []
+            for k_, hs in hyp_slots.items():
+                rs = ref_slots.get(k_)
+                if not rs:
+                    continue
+                n = min(len(hs), len(rs))
+                # order-preserving assignments of n hyp occurrences to n
+                # ref slots (monotone per key is never chunk-worse: any
+                # crossing between equal words can be swapped away)
+                opts = [
+                    tuple(zip(hc, rc))
+                    for hc in combinations(hs, n)
+                    for rc in combinations(rs, n)
+                ]
+                per_key.append(opts)
+            partial = [()]
+            for opts in per_key:
+                if len(partial) * len(opts) > _ALIGN_CAP:
+                    opts = opts[:1]  # greedy first-slot fallback
+                partial = [p + o for p in partial for o in opts]
+            for extra in partial:
+                nxt.append((
+                    tuple(sorted(pairs + extra)),
+                    used_h | {i for i, _ in extra},
+                    used_r | {j for _, j in extra},
+                ))
+        # dedup identical pair sets and bound the frontier
+        cands = list({c[0]: c for c in nxt}.values())[:_ALIGN_CAP]
+    best = min(cands, key=lambda c: _chunk_count(c[0]))
+    return list(best[0])
 
 
 def _meteor_segment(hyp: List[str], ref: List[str]) -> float:
@@ -228,12 +283,7 @@ def _meteor_segment(hyp: List[str], ref: List[str]) -> float:
     p = m / len(hyp)
     r = m / len(ref)
     fmean = 10.0 * p * r / (r + 9.0 * p)
-    # chunks: maximal runs monotone and contiguous in BOTH sentences
-    chunks = 1
-    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
-        if i1 != i0 + 1 or j1 != j0 + 1:
-            chunks += 1
-    penalty = 0.5 * (chunks / m) ** 3
+    penalty = 0.5 * (_chunk_count(pairs) / m) ** 3
     return fmean * (1.0 - penalty)
 
 
