@@ -243,28 +243,29 @@ def pipeline_apply(
             f"S={n_stages} (microbatch groups of S circulate the ring)"
         )
     mb = batch // num_microbatches
-    if shard_batch_over_data:
-        n_data = mesh.shape.get(DATA_AXIS, 1)
-        if mb % n_data:
-            raise ValueError(
-                f"microbatch size {mb} not divisible by data axis {n_data}"
-            )
-    xs = x.reshape(num_microbatches, mb, *x.shape[1:])
-    has_extras = extras is not None and bool(jax.tree_util.tree_leaves(extras))
-    exs = (
-        jax.tree_util.tree_map(
-            lambda e: e.reshape(num_microbatches, mb, *e.shape[1:]), extras
+    n_data = mesh.shape.get(DATA_AXIS, 1) if shard_batch_over_data else 1
+    if mb % n_data:
+        raise ValueError(
+            f"microbatch size {mb} not divisible by data axis {n_data}"
         )
-        if has_extras
-        else ()
-    )
+    has_extras = extras is not None and bool(jax.tree_util.tree_leaves(extras))
+    exs = extras if has_extras else ()
     wants_ctx = has_extras or rng is not None
 
+    # batch tensors enter the shard_map FLAT ([B, ...], batch dim over
+    # `data`); the [M, mb_local, ...] microbatch reshape happens INSIDE the
+    # manual body where it is a free local reshape.  A global
+    # [B@ (data x pipe)] -> [M, mb@data] reshape at the boundary is a
+    # sharding transition GSPMD can only do by replicating and
+    # repartitioning ("Involuntary full rematerialization" — real wasted
+    # ICI traffic); the flat P(data) in_spec instead makes the boundary a
+    # clean same-dim pipe all_gather, which the schedule needs anyway
+    # (every microbatch resident per stage).
     data_spec = DATA_AXIS if shard_batch_over_data else None
-    xs_spec = P(None, data_spec)
+    flat_spec = P(data_spec)
     params_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), stage_params)
     exs_spec = (
-        jax.tree_util.tree_map(lambda _: xs_spec, exs) if has_extras else ()
+        jax.tree_util.tree_map(lambda _: flat_spec, exs) if has_extras else ()
     )
     # the schedule is manual over data+pipe only; any OTHER mesh axis
     # (e.g. `model`) stays auto so GSPMD keeps partitioning the
@@ -283,19 +284,29 @@ def pipeline_apply(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(params_spec, xs_spec, exs_spec, P()),
-        out_specs=xs_spec,
+        in_specs=(params_spec, flat_spec, exs_spec, P()),
+        out_specs=flat_spec,
         # the output IS replicated over pipe (psum below) but flows through
         # data-dependent wheres the replication checker cannot see through
         check_rep=False,
         axis_names=axis_names,
     )
-    def run(params_blk, xs_local, exs_local, rng_local):
+    def run(params_blk, x_local, exs_flat, rng_local):
         # params_blk leaves: [1, layers_per_stage, ...] — this device's stage
         # (interleave > 1: [1, V, layers_per_chunk, ...] — V virtual stages)
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_blk)
         idx = lax.axis_index(PIPE_AXIS)
-        m = xs_local.shape[0]
+        # local microbatch reshape (see in_specs note): this data lane's
+        # rows split m-major into the same M microbatches per lane
+        m = num_microbatches
+        xs_local = x_local.reshape(m, x_local.shape[0] // m, *x_local.shape[1:])
+        exs_local = (
+            jax.tree_util.tree_map(
+                lambda e: e.reshape(m, e.shape[0] // m, *e.shape[1:]), exs_flat
+            )
+            if has_extras
+            else ()
+        )
         ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         def _ctx_out(chunk, state, m_c, t):
@@ -393,7 +404,11 @@ def pipeline_apply(
             jnp.where(idx == n_stages - 1, outs, jnp.zeros_like(outs)),
             PIPE_AXIS,
         )
-        return outs
+        # back to flat [B_local, ...] so the boundary resharding stays a
+        # same-dim transition (see in_specs note)
+        return outs.reshape(
+            outs.shape[0] * outs.shape[1], *outs.shape[2:]
+        )
 
     # partial-auto shard_map must run under jit (eager rejects auto axes);
     # a concrete (non-traced) input means we're the outermost program
@@ -404,11 +419,10 @@ def pipeline_apply(
     )
     out = run_fn(
         stage_params,
-        xs,
+        x,
         exs,
         rng if rng is not None else jax.random.PRNGKey(0),
     )
-    out = out.reshape(batch, *out.shape[2:])
     # hand the pipe axis back to batch parallelism for whatever follows
     # (heads, losses): the schedule's output is replicated over pipe, so
     # this constraint is a free slice — downstream compute then splits
