@@ -290,6 +290,83 @@ def check_trainer_2host(jax, rank, out_dir):
         json.dump({"loss": loss}, f)
 
 
+def check_dcn_ici_tp(jax, rank, out_dir):
+    """DCN x ICI composition (VERDICT round-4 #8): DP over the PROCESS
+    boundary (DCN) with Megatron TP over each process's local devices
+    (ICI) in one program — the mesh layout the docs promise
+    (parallel/mesh.py DCN notes, SURVEY §2.4) but no other check composes.
+    2 processes x 2 local devices -> mesh (data=2, model=2) where the
+    data axis strides across processes and model stays in-process; the
+    REAL VALOR train step runs with live TP shard-shape asserts and the
+    loss trajectory is written for cross-rank comparison."""
+    import jax.tree_util as jtu
+
+    from tests.conftest import tiny_model_config
+    from valor_tpu.cli.build import build_model_and_state
+    from valor_tpu.core.config import Config, TrainConfig
+    from valor_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from valor_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    # the composition under test, asserted on the live device grid:
+    # data rows are process-aligned (crossing data = crossing DCN),
+    # model columns stay inside one process (ICI)
+    grid = mesh.devices
+    assert grid.shape == (2, 2)
+    assert grid[0, 0].process_index == grid[0, 1].process_index == 0
+    assert grid[1, 0].process_index == grid[1, 1].process_index == 1
+
+    mcfg = tiny_model_config(
+        fusion_vocab=512, txt_encoder_type="bert_base_uncased",
+        init_clip_head=False, sequence_parallel=True,
+    )
+    cfg = Config(
+        model=mcfg,
+        train=TrainConfig(
+            num_train_steps=2, train_inner_steps=1, valid_steps=0,
+            learning_rate=1e-3, seed=0,
+        ),
+    )
+    b = _item_batch([0, 1])  # per-process rows of the global batch-4
+    example = {k: v for k, v in b.items() if k != "ids"}
+    model, tx, state = build_model_and_state(cfg, example, mesh=mesh)
+
+    # live TP assert: fusion attention kernels really split over `model`
+    # — i.e. over the two devices INSIDE this process
+    split = {}
+    for path, leaf in jtu.tree_leaves_with_path(state.params):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "multimodal_encoder" in p and p.endswith("query/kernel"):
+            split[p] = (leaf.shape, leaf.sharding)
+    assert split, "no fusion attention kernels found"
+    for p, (shape, sharding) in split.items():
+        assert MODEL_AXIS in str(sharding.spec), f"{p}: {sharding.spec}"
+        assert sharding.shard_shape(shape)[-1] * 2 == shape[-1], p
+        # every shard of a model-sharded leaf lives on BOTH processes
+        # (replicated over data/DCN, split over model/ICI)
+        procs = {d.process_index for d in sharding.device_set}
+        assert procs == {0, 1}, (p, procs)
+
+    def batches():
+        for i in range(2):
+            local = _item_batch([2 * i + 10, 2 * i + 11])  # same on both ranks
+            yield "ret%tv--fix", {k: v for k, v in local.items() if k != "ids"}
+
+    trainer = Trainer(cfg, model, tx, state, iter(batches()), mesh=mesh)
+    from valor_tpu.data.loader import DevicePrefetcher
+    from valor_tpu.parallel.mesh import shard_batch
+
+    trainer.meta_loader = DevicePrefetcher(
+        iter(batches()), lambda bb: shard_batch(mesh, bb)
+    )
+    final = trainer.run()
+    assert int(final.step) == 2
+    loss = float(trainer.meters["ret%tv--fix/total_loss"].val)
+    assert np.isfinite(loss)
+    with open(os.path.join(out_dir, f"dcn_ici_rank{rank}.json"), "w") as f:
+        json.dump({"loss": loss}, f)
+
+
 def main():
     rank, coord, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -309,6 +386,7 @@ def main():
     check_validate_pt_merge(rank)
     check_validate_ret(jax, rank, out_dir)
     check_trainer_2host(jax, rank, out_dir)
+    check_dcn_ici_tp(jax, rank, out_dir)
     print(f"rank {rank}: OK", flush=True)
 
 

@@ -75,6 +75,16 @@ class TestTwoProcessCluster:
         assert t0 == t1
         assert np.isfinite(t0["loss"])
 
+    def test_dcn_ici_tp_composition(self, worker_reports):
+        """DP over the process boundary (DCN) composed with Megatron TP
+        inside each process (ICI) on a (data=2, model=2) mesh — the real
+        VALOR train step with live TP shard asserts ran in both workers
+        (check_dcn_ici_tp), identical finite losses on both ranks."""
+        d0 = json.load(open(worker_reports / "dcn_ici_rank0.json"))
+        d1 = json.load(open(worker_reports / "dcn_ici_rank1.json"))
+        assert d0 == d1
+        assert np.isfinite(d0["loss"])
+
     def test_merged_report_equals_single_host(self, worker_reports):
         """The 2-host merged retrieval report must equal a single-host
         eval over the same 7 items (gallery count == dataset size — the
