@@ -322,8 +322,13 @@ def phase_eval(workdir: str) -> None:
     dev = jax.local_devices()[0]
 
     def hbm_gb():
+        # memory_stats() returns nothing on some runtimes (e.g. the
+        # tunneled remote backend) — record "unavailable" rather than a
+        # dead 0.0 gauge (VERDICT round-4 weak #5)
         stats = dev.memory_stats() or {}
-        return round(stats.get("bytes_in_use", 0) / 2**30, 2)
+        if "bytes_in_use" not in stats:
+            return "unavailable"
+        return round(stats["bytes_in_use"] / 2**30, 2)
 
     report = {
         "phase": "eval",
