@@ -294,12 +294,6 @@ def main_generate(report: bool = True, return_handles: bool = False):
         cfg = cfg.replace(
             fusion_cross_attn_kv_heads=int(os.environ["BENCH_GQA_KV_HEADS"])
         )
-    if os.environ.get("BENCH_KV_QUANT"):
-        # int8 decode cross-KV cache A/B (VERDICT round-4 #5): halves the
-        # dominant decode HBM stream with int8 operands on both dots
-        # (ops/layers.py QuantKV); token agreement vs the fp cache is
-        # measured below when BENCH_KV_PARITY=1
-        cfg = cfg.replace(cross_kv_quant=os.environ["BENCH_KV_QUANT"])
     model = VALORModel(cfg)
     task = parse_task("pt_contra%tva_caption%tva")
     batch = _synthetic_batch(batch=batch_size)
@@ -348,18 +342,6 @@ def main_generate(report: bool = True, return_handles: bool = False):
         "beam_size": beam,
         "step_seconds": [round(t, 3) for t in times],
     }
-    if os.environ.get("BENCH_KV_QUANT"):
-        result["cross_kv_quant"] = os.environ["BENCH_KV_QUANT"]
-    if os.environ.get("BENCH_KV_QUANT") and os.environ.get("BENCH_KV_PARITY"):
-        # token-parity gate: same params/inputs through an fp-cache model
-        ref_model = VALORModel(cfg.replace(cross_kv_quant="none"))
-        ref_out = gen.generate(
-            ref_model, params, dict(gen_batch), ("tva",),
-            caption_type=cfg.caption_type, max_len=max_len, beam_size=beam,
-        )["generated_sequences_tva"]
-        q_out = run(params, gen_batch, 0.0)
-        agree = float(np.mean(np.asarray(ref_out) == np.asarray(q_out)))
-        result["token_agreement_vs_fp"] = round(agree, 4)
     if report:
         print(json.dumps(result))
     if return_handles:

@@ -147,70 +147,6 @@ class TestGenerate:
         )
         np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), rtol=2e-5, atol=2e-5)
 
-    def test_int8_kv_attention_op_parity(self):
-        """_attention_int8_cached (both dots int8, ops/layers.py QuantKV)
-        vs the fp cache-only attention: per-token K scales and per-channel
-        V scales bound the element error at ~1/254 of each row/channel
-        max; the composed op must stay within ~2% of the output scale —
-        full-head and grouped (GQA) shapes."""
-        from valor_tpu.ops.layers import (
-            _attention_int8_cached, dot_product_attention, quantize_kv,
-        )
-
-        rng = np.random.RandomState(0)
-        for h, hk in ((4, 4), (8, 2)):
-            q = jnp.asarray(rng.randn(2, h, 3, 16), jnp.float32)
-            k = jnp.asarray(rng.randn(2, hk, 24, 16), jnp.float32)
-            v = jnp.asarray(rng.randn(2, hk, 24, 16), jnp.float32)
-            fp = dot_product_attention(q, k, v, dtype=jnp.float32)
-            qkv = quantize_kv((k, v))
-            q8 = _attention_int8_cached(q, qkv, jnp.float32)
-            scale = float(np.abs(np.asarray(fp)).max())
-            np.testing.assert_allclose(
-                np.asarray(q8), np.asarray(fp), atol=0.02 * scale, rtol=0
-            )
-
-    def test_int8_cross_kv_decode_parity(self):
-        """cross_kv_quant='int8' end-to-end: the quantized decode cache
-        produces logits within quantization noise of the fp cache and a
-        greedy rollout whose tokens are valid and near-identical.  (The
-        production token-agreement gate runs on the real chip:
-        BENCH_KV_QUANT=int8 BENCH_KV_PARITY=1, PERF_NOTES.md round-5.)"""
-        from valor_tpu.ops.layers import quantize_kv
-
-        cfg = tiny_model_config()
-        batch = make_batch(jax.random.PRNGKey(0))
-        model, params, spec = _setup(cfg, batch, "cap%tva")
-        video_output = model.apply({"params": params}, batch["video_pixels"], method=model.encode_video)
-        video_input = model.apply({"params": params}, video_output, method=model.video_fusion_input)
-        tokens = batch["bert_tokens"][:, :5]
-        mask = (tokens != 0).astype(jnp.float32)
-        kv = model.apply({"params": params}, video_input, None, method=model.fusion_cross_kv)
-        fp = model.apply(
-            {"params": params}, tokens, None, None, None, True, False, mask, kv,
-            method=model.fusion_logits,
-        )
-        kv8 = [{key: quantize_kv(pair) for key, pair in layer.items()} for layer in kv]
-        q8 = model.apply(
-            {"params": params}, tokens, None, None, None, True, False, mask, kv8,
-            method=model.fusion_logits,
-        )
-        scale = float(np.abs(np.asarray(fp)).max())
-        np.testing.assert_allclose(
-            np.asarray(q8), np.asarray(fp), atol=0.03 * scale, rtol=0
-        )
-
-        qmodel = VALORModel(cfg.replace(cross_kv_quant="int8"))
-        out_fp = gen.generate(model, params, batch, ("tva",), max_len=5)
-        out_q8 = gen.generate(qmodel, params, batch, ("tva",), max_len=5)
-        s_fp = np.asarray(out_fp["generated_sequences_tva"])
-        s_q8 = np.asarray(out_q8["generated_sequences_tva"])
-        assert s_q8.shape == s_fp.shape
-        assert (s_q8 >= 0).all() and (s_q8 < cfg.fusion_vocab).all()
-        # random-init tiny logits are near-uniform, so argmax CAN flip
-        # under quantization noise; require near-identical, not identical
-        assert np.mean(s_fp == s_q8) >= 0.6, (s_fp, s_q8)
-
 
 class TestGeneratorCaching:
     """The production generation path is jitted and cached: the second

@@ -174,15 +174,6 @@ class ModelConfig:
     # residual traffic — forward values are BIT-IDENTICAL (only gelu'(x)
     # in the backward sees the quantisation; ops/layers.py gelu_exact).
     gelu_stash_dtype: str = "none"
-    # decode-time cross-attention K/V cache dtype ('none' = compute dtype).
-    # 'int8' stores the per-rollout media K/V cache symmetric-int8 (per-
-    # token K scales, per-channel V scales) and runs BOTH attention dots
-    # with int8 operands (int32 MXU accumulate) — no dequantized bf16 copy
-    # of the cache is ever materialised, the operand-side-cast failure the
-    # f8 logit rungs measured twice (PERF_NOTES.md).  Halves the dominant
-    # decode HBM stream (cross-KV reads ~20% of a rollout; GQA composes).
-    # ops/layers.py QuantKV; token parity gated in tests/test_generate.py.
-    cross_kv_quant: str = "none"
     # Split input pipeline (host decode -> device finish).  Both exist
     # because TPU-VM hosts are core-starved relative to the chip
     # (PERF_NOTES.md round-2 data campaign):

@@ -195,16 +195,6 @@ def make_fusion_decoder(
         cross_kv = model.apply(
             {"params": params}, video_input, audio_input, method=model.fusion_cross_kv
         )
-        if model.cfg.cross_kv_quant == "int8":
-            # store the per-rollout cache int8 (ops/layers.py QuantKV):
-            # quantisation happens ONCE here; every decode step then reads
-            # half the bytes and runs int8 MXU dots against it
-            from valor_tpu.ops.layers import quantize_kv
-
-            cross_kv = [
-                {key: quantize_kv(kv) for key, kv in layer.items()}
-                for layer in cross_kv
-            ]
         video_input = audio_input = None  # media now live in the cache
     elif not model.cfg.multimodal_use_cross_attn and (
         prompt_tokens is not None or video_input is not None or audio_input is not None

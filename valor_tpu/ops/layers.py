@@ -253,84 +253,6 @@ def remat_wrap(cls):
     return nn.remat(cls, static_argnums=(), **kw)
 
 
-class QuantKV(tuple):
-    """int8-quantized decode K/V cache (VERDICT round-4 #5).
-
-    Layout: ``(k_q int8 [B,Hk,S,D], v_q int8 [B,Hk,S,D],
-    k_scale f32 [B,Hk,S], v_scale f32 [B,Hk,D])``.
-
-    Scale placement follows from which contraction each operand feeds —
-    a scale only factors out of a dot when it is constant over the
-    contracted dim:
-      * K feeds the Q·K dot (contract D) -> per-TOKEN scales [B,Hk,S];
-      * V feeds the probs·V dot (contract S) -> per-CHANNEL scales
-        [B,Hk,D].
-    Both attention dots then run with int8 operands on both sides
-    (int32 accumulate) — no dequantized bf16 copy of the cache is ever
-    materialised, which is exactly the operand-side-cast failure the f8
-    logit rungs measured twice (PERF_NOTES.md round-4).
-    """
-
-    __slots__ = ()
-
-    def __new__(cls, k_q, v_q, k_scale, v_scale):
-        return tuple.__new__(cls, (k_q, v_q, k_scale, v_scale))
-
-    k_q = property(lambda s: s[0])
-    v_q = property(lambda s: s[1])
-    k_scale = property(lambda s: s[2])
-    v_scale = property(lambda s: s[3])
-
-
-jax.tree_util.register_pytree_node(
-    QuantKV, lambda q: (tuple(q), None), lambda _, xs: QuantKV(*xs)
-)
-
-
-def quantize_kv(kv: Tuple[jnp.ndarray, jnp.ndarray]) -> QuantKV:
-    """Symmetric int8 quantization of a decode K/V pair (see QuantKV)."""
-    k, v = kv
-    k32 = k.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    k_s = jnp.maximum(jnp.max(jnp.abs(k32), axis=-1), 1e-8) / 127.0
-    k_q = jnp.round(k32 / k_s[..., None]).astype(jnp.int8)
-    v_s = jnp.maximum(jnp.max(jnp.abs(v32), axis=-2), 1e-8) / 127.0
-    v_q = jnp.round(v32 / v_s[..., None, :]).astype(jnp.int8)
-    return QuantKV(k_q, v_q, k_s, v_s)
-
-
-def _attention_int8_cached(
-    q: jnp.ndarray, kv: QuantKV, dtype: Dtype
-) -> jnp.ndarray:
-    """Cache-only attention against an int8 K/V cache.
-
-    Both dots take int8 operands (queries and probs are row-quantized on
-    the fly — cheap [B,H,Q]-sized work vs the [B,Hk,S,D] cache reads the
-    int8 storage halves).  Softmax stays fp32.  Handles grouped K/V
-    (Hk < H) by broadcasting each K/V head over its query group, like
-    _grouped_attention."""
-    b, h, qlen, d = q.shape
-    hk = kv.k_q.shape[1]
-    g = h // hk
-    q32 = q.astype(jnp.float32) / math.sqrt(d)
-    q_s = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1), 1e-12) / 127.0  # [B,H,Q]
-    q_q = jnp.round(q32 / q_s[..., None]).astype(jnp.int8)
-    qg = q_q.reshape(b, hk, g, qlen, d)
-    scores = jnp.einsum(
-        "bhgqd,bhsd->bhgqs", qg, kv.k_q, preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
-    scores = scores * q_s.reshape(b, hk, g, qlen)[..., None]
-    scores = scores * kv.k_scale[:, :, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1)
-    p_s = jnp.maximum(jnp.max(probs, axis=-1), 1e-12) / 127.0  # [B,Hk,G,Q]
-    p_q = jnp.round(probs / p_s[..., None]).astype(jnp.int8)
-    out = jnp.einsum(
-        "bhgqs,bhsd->bhgqd", p_q, kv.v_q, preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
-    out = out * p_s[..., None] * kv.v_scale[:, :, None, None, :]
-    return out.reshape(b, h, qlen, d).astype(dtype)
-
-
 def dot_product_attention(
     q: jnp.ndarray,  # [B, H, Q, D]
     k: jnp.ndarray,  # [B, H, K, D]
@@ -623,14 +545,6 @@ class MultiHeadAttention(nn.Module):
             # cache-only attention: keys/values entirely from the cache
             # (decode path: cross-attn K/V precomputed once per rollout)
             assert extra_kv is not None
-            if isinstance(extra_kv, QuantKV):
-                # int8 cache: both dots run with int8 operands (see
-                # QuantKV) — media tokens are all valid, so no bias
-                assert bias is None, "int8 KV cache path takes no bias"
-                out = _attention_int8_cached(qh, extra_kv, self.dtype)
-                out = merge_heads(out)
-                out = maybe_dropout(self, out, self.dropout)
-                return self.out(out)
             kh, vh = (t.astype(qh.dtype) for t in extra_kv)
         out = dot_product_attention(qh, kh, vh, bias=bias, dtype=self.dtype)
         out = merge_heads(out)
