@@ -374,7 +374,15 @@ def main_serve(report: bool = True, handles=None):
     clients = int(os.environ.get("BENCH_SERVE_CLIENTS", 128))
     rounds = int(os.environ.get("BENCH_SERVE_ROUNDS", 6))
     bucket = int(os.environ.get("BENCH_BATCH", 64))
-    v0 = np.asarray(gen_batch["video_pixels"])[0]
+    # uint8 pixel rows — the production serving contract
+    # (cli/serve.py featurize ships VideoMapper output_uint8 rows; the
+    # (x/255-mean)/std normalisation fuses into the on-device patch
+    # embed).  The first triple run measured the cost of getting this
+    # wrong: fp32-promoted salted rows made H2D 154 MB/bucket-64 batch,
+    # 6.9 s of the 7.3 s batch wall on the 1-core tunnel host.
+    fshape = np.asarray(gen_batch["video_pixels"]).shape[1:]
+    rng0 = np.random.RandomState(0)
+    v0 = rng0.randint(0, 256, size=fshape, dtype=np.uint8)
     a0 = np.asarray(gen_batch["audio_spectrograms"])[0]
 
     scfg = ServeConfig(
@@ -386,9 +394,15 @@ def main_serve(report: bool = True, handles=None):
         """Closed-loop wave: n_clients callers x n_rounds requests each."""
         def client(i, n):
             for j in range(n):
-                salt = np.float32((i * 1000 + j + 1) * 1e-6)
+                # distinct per request (the tunneled runtime memoizes
+                # IDENTICAL executions): stamp the request id into one
+                # pixel instead of adding a float salt — a float salt
+                # promotes the whole row to fp32 and quadruples H2D
+                s = i * 1000 + j + 1
+                v = v0.copy()
+                v[0, 0, 0] = (s >> 16) & 255, (s >> 8) & 255, s & 255
                 eng.generate({
-                    "video_pixels": v0 + salt,
+                    "video_pixels": v,
                     "audio_spectrograms": a0,
                 })
 
@@ -417,14 +431,13 @@ def main_serve(report: bool = True, handles=None):
 
     with InferenceEngine(model, params, scfg) as eng:
         # warmup wave: fills one bucket, pays any residual compile
+        def _warm(i):
+            v = v0.copy()
+            v[0, 0, 1] = (i >> 8) & 255, i & 255, 7
+            return eng.generate({"video_pixels": v, "audio_spectrograms": a0})
+
         with cf.ThreadPoolExecutor(bucket) as pool:
-            list(pool.map(
-                lambda i: eng.generate({
-                    "video_pixels": v0 + np.float32((i + 1) * 1e-7),
-                    "audio_spectrograms": a0,
-                }),
-                range(bucket),
-            ))
+            list(pool.map(_warm, range(bucket)))
         # saturated point: clients >> bucket — throughput measurement
         # (latency there measures queue depth, not the batching contract)
         sat = load_point(eng, clients, rounds)

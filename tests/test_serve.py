@@ -57,6 +57,34 @@ class TestEngine:
         assert s["requests"] == 4 and s["batches"] == 1
         assert s["pad_fraction"] == 0.0 and s["mean_occupancy"] == 1.0
 
+    def test_uint8_rows_match_fp32_direct_generate(self):
+        """The production serving contract (cli/serve.py featurize) ships
+        raw uint8 pixel rows; the (x/255-mean)/std normalisation fuses
+        into the on-device patch embed (models/valor.py encode_video).
+        The engine's uint8 outputs must be IDENTICAL to a direct fp32
+        generate over the host-normalised values — same IEEE ops in the
+        same order on both paths."""
+        from valor_tpu.data.pipeline import CLIP_MEAN, CLIP_STD
+
+        model, params, batch = _setup()
+        shape = np.asarray(batch["video_pixels"]).shape
+        u8 = np.random.RandomState(3).randint(
+            0, 256, size=shape, dtype=np.uint8)
+        f32 = (
+            u8.astype(np.float32) / 255.0
+            - np.asarray(CLIP_MEAN, np.float32)
+        ) / np.asarray(CLIP_STD, np.float32)
+        direct = np.asarray(
+            gen.generate(model, params, {"video_pixels": f32},
+                         ("tv",), max_len=5)["generated_sequences_tv"]
+        )
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=-1, group="tv", max_len=5)
+        with InferenceEngine(model, params, cfg) as eng:
+            futs = [eng.submit({"video_pixels": u8[i]}) for i in range(4)]
+            results = [f.result(timeout=120) for f in futs]
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r["sequences"], direct[i])
+
     def test_bucket_padding_and_slicing(self):
         model, params, batch = _setup()
         pixels = np.asarray(batch["video_pixels"])
@@ -134,6 +162,26 @@ class TestEngine:
                 eng.submit({"video_pixels": np.zeros((32, 32, 3))})  # rank 3
             with pytest.raises(ValueError):
                 eng.submit({})
+
+    def test_back_to_back_batches_overlap_path(self):
+        """Three bucket-fulls submitted at once exercise the
+        double-buffered worker's overlap path (launch N+1 dispatched
+        before N's results are forced); every request must still get its
+        own row, equal to the direct generate."""
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        direct = np.asarray(
+            gen.generate(model, params, {"video_pixels": pixels[:2]},
+                         ("tv",), max_len=5)["generated_sequences_tv"]
+        )
+        cfg = ServeConfig(buckets=(2,), max_wait_ms=-1, group="tv", max_len=5)
+        with InferenceEngine(model, params, cfg) as eng:
+            futs = [eng.submit({"video_pixels": pixels[i % 2]})
+                    for i in range(6)]
+            results = [f.result(timeout=300) for f in futs]
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r["sequences"], direct[i % 2])
+        assert eng.stats()["batches"] == 3
 
     def test_run_error_surfaces_in_future(self):
         # wrong resolution compiles/encodes against a 32px model -> the
@@ -314,7 +362,8 @@ class TestAdmission:
             futs = [eng.submit(it) for it in _items(batch, 4)]
             [f.result(timeout=120) for f in futs]
             s = eng.stats()
-        assert set(s["batch_phase_mean_s"]) == {"assemble", "device", "fanout"}
+        assert set(s["batch_phase_mean_s"]) == {
+            "assemble", "h2d", "device", "fanout"}
         assert s["batch_phase_mean_s"]["device"] > 0.0
         total = sum(s["batch_phase_fraction"].values())
         assert total == pytest.approx(1.0, abs=0.01)

@@ -37,6 +37,9 @@ def extract_frames_and_wav(video_path: str, out_dir: str, fps: int = 1) -> None:
 
 
 def main(argv=None):
+    from valor_tpu.utils.runtime import honor_jax_platforms
+
+    honor_jax_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--video_path", default=None)
     parser.add_argument("--image_path", default=None)

@@ -148,12 +148,15 @@ def _production_featurize(cfg, bert_tok, prompt_table=None) -> FeaturizeFn:
                 os.path.dirname(os.path.abspath(path)) or ".",
                 resolution=cfg.model.video_resolution, sample_num=1,
                 datatype="image", encoder_type=cfg.model.video_encoder_type,
-                training=False,
+                training=False, output_uint8=True,
             )
             pixels = vm[os.path.basename(path)]
             if pixels is None:  # mapper's corrupt-sample signal -> client 400
                 raise FileNotFoundError(f"unreadable image: {path}")
-            item["video_pixels"] = pixels.astype(np.float32)
+            # production split-pipeline contract: raw uint8 rows, 4x less
+            # host->device traffic; (x/255-mean)/std fuses into the
+            # on-device patch embed (models/valor.py encode_video)
+            item["video_pixels"] = pixels
             item["audio_spectrograms"] = np.zeros(
                 (int(payload.get("audio_sample_num", 2)),
                  cfg.model.audio_melbins, cfg.model.audio_target_length),
@@ -166,13 +169,13 @@ def _production_featurize(cfg, bert_tok, prompt_table=None) -> FeaturizeFn:
                     tmp, resolution=cfg.model.video_resolution,
                     sample_num=int(payload.get("video_sample_num", 8)),
                     datatype="video", encoder_type=cfg.model.video_encoder_type,
-                    training=False,
+                    training=False, output_uint8=True,
                 )
                 pixels = vm["frames"]
                 if pixels is None:
                     raise FileNotFoundError(
                         f"no readable frames in: {payload['video_path']}")
-                item["video_pixels"] = pixels.astype(np.float32)
+                item["video_pixels"] = pixels  # raw uint8 rows (see above)
                 am = AudioMapper(
                     tmp, sample_num=int(payload.get("audio_sample_num", 2)),
                     melbins=cfg.model.audio_melbins,
@@ -202,6 +205,9 @@ def _production_featurize(cfg, bert_tok, prompt_table=None) -> FeaturizeFn:
 
 
 def main(argv=None):
+    from valor_tpu.utils.runtime import honor_jax_platforms
+
+    honor_jax_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", default=None)

@@ -116,15 +116,9 @@ def make_validate_fn(cfg: Config, model, tokenizers):
 
 
 def main(argv=None):
-    # honor JAX_PLATFORMS even when an early import (sitecustomize) froze
-    # jax's config defaults before this process's env was consulted — the
-    # update is a no-op once a backend is initialised
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        try:
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+    from valor_tpu.utils.runtime import honor_jax_platforms
+
+    honor_jax_platforms()
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
     if os.environ.get("VALOR_DEBUG_NANS"):
