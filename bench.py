@@ -210,10 +210,15 @@ def main_data_inclusive(report: bool = True, synth_sps=None):
         "data_stall_vs_synth": round(stall, 4) if stall is not None else None,
         "step_seconds": [round(t, 3) for t in times],
     }
-    # sweep mode calls this repeatedly in one process: drop the donated
-    # state and this iteration's compiled step so HBM doesn't stack
+    # sweep mode calls this repeatedly in one process: stop the loader's
+    # background production FIRST (a repeat=True loader whose iterator is
+    # abandoned otherwise leaves its feeder thread + worker pool alive,
+    # decoding batches nobody reads while the NEXT sweep point warms up),
+    # then drop the donated state and this iteration's compiled step so
+    # HBM doesn't stack
     import gc
 
+    loader.close()
     del state, prefetched, it, loader
     if inner > 1:
         del loop

@@ -387,6 +387,24 @@ class TestMeteorLiteCalibration:
         assert max(diffs) < 0.04, max(diffs)
         assert sum(diffs) / len(diffs) < 0.002
 
+    def test_align_bounded_on_degenerate_repetition(self):
+        """A degenerate decode that repeats one token (classic greedy
+        failure mode) must not explode the alignment enumeration:
+        'the' x 30 vs 'the' x 8 has C(30,8) ~ 5.9M slot choices — the
+        cap must bound the lazy enumeration, not a materialised list."""
+        import time as _t
+
+        from valor_tpu.eval.cococaption import _align, _meteor_segment
+
+        hyp = ["the"] * 30
+        ref = ["the"] * 8
+        t0 = _t.perf_counter()
+        pairs = _align(hyp, ref)
+        score = _meteor_segment(hyp, ref)
+        assert _t.perf_counter() - t0 < 5.0
+        assert len(pairs) == 8  # maximum matching cardinality preserved
+        assert 0.0 < score <= 1.0
+
     def test_min_chunk_alignment_on_duplicates(self):
         """_align resolves duplicated-word ambiguity to the fewest-chunk
         maximum matching (the METEOR tie-break).  'the' appears at ref

@@ -88,6 +88,30 @@ class TestThreadedLoader:
         orders = [np.concatenate(seen[2 * e: 2 * e + 2]).ravel()[::2].tolist() for e in range(3)]
         assert any(o != orders[0] for o in orders[1:])
 
+    def test_close_stops_repeat_loader_threads(self):
+        """Abandoning a repeat=True iterator parks its feeder thread on a
+        full queue forever; close() must unblock it and let the worker
+        pool exit — sweeps building several loaders per process (bench
+        BENCH_DATA_SWEEP) rely on this to keep points independent."""
+        import threading
+        import time as _t
+
+        base = threading.active_count()
+        ds = _SlowDataset(8)
+        loader = DataLoader(
+            ds, ShardedBatchSampler(8, 4, shuffle=True, seed=3), _collate,
+            n_workers=4, repeat=True,
+        )
+        it = iter(loader)
+        next(it)  # spin up feeder + pool and fill the prefetch queue
+        del it  # abandon the iterator (what a finished bench point does)
+        loader.close()
+        deadline = _t.monotonic() + 10.0
+        while threading.active_count() > base and _t.monotonic() < deadline:
+            _t.sleep(0.05)
+        assert threading.active_count() <= base, (
+            threading.active_count(), base)
+
 
 class TestZeroOptimizerSharding:
     def test_moments_sharded_and_step_equal(self):

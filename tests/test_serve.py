@@ -183,6 +183,44 @@ class TestEngine:
             np.testing.assert_array_equal(r["sequences"], direct[i % 2])
         assert eng.stats()["batches"] == 3
 
+    def test_cancelled_queued_request_skipped_at_pick(self):
+        """A request cancelled while queued must not occupy a batch row
+        or device time: the batch that runs carries only live rows."""
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        cfg = ServeConfig(buckets=(4,), max_wait_ms=200.0, group="tv",
+                          max_len=5)
+        with InferenceEngine(model, params, cfg) as eng:
+            f0 = eng.submit({"video_pixels": pixels[0]})
+            f1 = eng.submit({"video_pixels": pixels[1]})
+            assert f1.cancel()  # below bucket + young -> still queued
+            f2 = eng.submit({"video_pixels": pixels[2]})
+            r0 = f0.result(timeout=300)
+            r2 = f2.result(timeout=300)
+            s = eng.stats()
+        assert r0["sequences"].shape == (5,) and r2["sequences"].shape == (5,)
+        assert f1.cancelled()
+        # only the two live rows were real work
+        assert s["rows_real"] == 2, s
+
+    def test_partial_lane_not_starved_by_hot_full_lane(self):
+        """While full batches stream on one lane, an aged partial request
+        on a DIFFERENT lane (other tensor signature) must still launch —
+        within about one batch cycle, not after the hot lane drains."""
+        model, params, batch = _setup()
+        pixels = np.asarray(batch["video_pixels"])
+        cfg = ServeConfig(buckets=(2,), max_wait_ms=0.0, group="tv",
+                          max_len=5)
+        with InferenceEngine(model, params, cfg) as eng:
+            # hot lane: keep 3 full bucket-2 batches queued
+            hot = [eng.submit({"video_pixels": pixels[i % 2]})
+                   for i in range(6)]
+            # lone request on a second lane (different max_len -> its own
+            # compatibility key), submitted while the hot lane is busy
+            lone = eng.submit({"video_pixels": pixels[2]}, max_len=4)
+            assert lone.result(timeout=300)["sequences"].shape == (4,)
+            [f.result(timeout=300) for f in hot]
+
     def test_run_error_surfaces_in_future(self):
         # wrong resolution compiles/encodes against a 32px model -> the
         # worker must deliver the exception to THIS request's future and

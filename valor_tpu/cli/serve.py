@@ -99,7 +99,17 @@ def make_handler(engine, featurize: FeaturizeFn, decode: DecodeFn,
                 for k in ("max_len", "beam_size"):
                     if payload.get(k) is not None:
                         kw[k] = int(payload[k])
-                result = engine.submit(item, **kw).result(timeout=request_timeout_s)
+                fut = engine.submit(item, **kw)
+                try:
+                    result = fut.result(timeout=request_timeout_s)
+                except FutureTimeout:
+                    # abandon the request FOR the engine too: a cancelled
+                    # queued future is dropped at batch-pick time, so a
+                    # wedged-device backlog of timed-out requests neither
+                    # holds max_pending slots nor burns device time for
+                    # clients that already got their 504
+                    fut.cancel()
+                    raise
                 self._json(200, {
                     "text": decode(result["sequences"]),
                     "latency_s": result["latency_s"],

@@ -101,6 +101,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.n_workers = n_workers
         self.prefetch_batches = max(prefetch_batches, 1)
+        self._stop = threading.Event()
         # repeat=True: iterate epochs forever INSIDE one worker pool
         # (sampler epoch bumped for a fresh shuffle each pass).  Restarting
         # iteration from outside instead tears down the pool and drains the
@@ -136,7 +137,7 @@ class DataLoader:
 
             for _ in range(self.prefetch_batches):
                 submit()
-            while pending:
+            while pending and not self._stop.is_set():
                 futs = pending.popleft()
                 submit()  # keep the pool fed while we block on results
                 yield self.collate_fn([f.result() for f in futs])
@@ -151,10 +152,23 @@ class DataLoader:
         def work():
             try:
                 for b in self._produce():
-                    q.put(b)
+                    # bounded put that aborts on close(): a repeat=True
+                    # producer whose consumer walked away would otherwise
+                    # park on q.put forever, leaking the worker pool and
+                    # its decoded batches
+                    while not self._stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             finally:
-                q.put(sentinel)
-
+                try:
+                    q.put_nowait(sentinel)
+                except queue_mod.Full:
+                    pass  # consumer is gone; nobody will q.get again
         t = threading.Thread(target=work, daemon=True)
         t.start()
         while True:
@@ -162,6 +176,16 @@ class DataLoader:
             if b is sentinel:
                 break
             yield b
+
+    def close(self):
+        """Terminally stop background production.  repeat=True loaders
+        never exhaust on their own; abandoning their iterator leaves the
+        feeder thread parked on a full queue and the worker pool (plus
+        ~prefetch_batches decoded batches) alive for the process
+        lifetime.  Sweeps that build several loaders in one process
+        (bench BENCH_DATA_SWEEP) must close each point before timing the
+        next, or the leaked workers contaminate the measurement."""
+        self._stop.set()
 
     def __len__(self) -> int:
         return len(self.sampler)

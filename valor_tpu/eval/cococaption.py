@@ -227,7 +227,7 @@ def _align(hyp: List[str], ref: List[str]) -> List[tuple]:
     min-chunk candidate is selected at the end.  The search is capped at
     ``_ALIGN_CAP`` candidates (falling back to first-slot greedy beyond),
     which no caption-length input approaches."""
-    from itertools import combinations
+    from itertools import combinations, islice
 
     # candidates: (pairs tuple, used hyp idx set, used ref idx set)
     cands = [((), frozenset(), frozenset())]
@@ -251,13 +251,22 @@ def _align(hyp: List[str], ref: List[str]) -> List[tuple]:
                 n = min(len(hs), len(rs))
                 # order-preserving assignments of n hyp occurrences to n
                 # ref slots (monotone per key is never chunk-worse: any
-                # crossing between equal words can be swapped away)
-                opts = [
+                # crossing between equal words can be swapped away).
+                # Enumerated LAZILY up to the cap: a degenerate repeated
+                # token (e.g. a greedy decode emitting 'the' x 30 against
+                # 'the' x 8) has C(30,8) ~ 5.9M slot choices — the nested
+                # generator + islice bound the work BEFORE anything
+                # materialises (NB itertools.product is NOT lazy in its
+                # arguments — it tuple-izes each iterable up front, which
+                # is exactly the blowup being avoided); past the cap the
+                # downstream truncation falls back to the first-slot
+                # (leftmost, greedy) assignment anyway.
+                lazy = (
                     tuple(zip(hc, rc))
                     for hc in combinations(hs, n)
                     for rc in combinations(rs, n)
-                ]
-                per_key.append(opts)
+                )
+                per_key.append(list(islice(lazy, _ALIGN_CAP + 1)))
             partial = [()]
             for opts in per_key:
                 if len(partial) * len(opts) > _ALIGN_CAP:

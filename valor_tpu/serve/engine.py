@@ -294,16 +294,21 @@ class InferenceEngine:
         return False
 
     # -- worker --------------------------------------------------------------
-    def _pick(self, full_only: bool = False) -> Optional[List[_Request]]:
+    def _pick(self, inflight_since: Optional[float] = None,
+              ) -> Optional[List[_Request]]:
         """Under the lock: pop the next launchable batch, or None.
 
-        full_only: only full top-bucket batches qualify — used while a
-        batch is already in flight, so the overlap path never burns a
-        device slot on an aged PARTIAL batch that would have filled up by
-        the time the in-flight batch completes (measured: eager partial
-        launches dropped occupancy 0.92 -> 0.75 and erased the overlap
-        win under closed-loop saturation).  Aged partial batches still
-        launch the moment the device would otherwise go idle."""
+        inflight_since: launch time of the batch currently on the device,
+        or None if the device is idle.  While a batch is in flight, the
+        overlap slot takes (a) any FULL top-bucket lane, or (b) an aged
+        partial lane whose oldest request PREDATES the in-flight launch —
+        it already waited out a whole device cycle without filling, so
+        holding it longer cannot fill it either.  A partial lane that is
+        still growing is skipped (measured: eagerly launching those
+        dropped occupancy 0.92 -> 0.75 and erased the overlap win under
+        closed-loop saturation); it launches the moment the device would
+        otherwise go idle, so no lane can be starved past its
+        max_wait_ms contract by more than one batch cycle."""
         c = self.cfg
         now = time.monotonic()
         best_key, best_age = None, -1.0
@@ -312,7 +317,9 @@ class InferenceEngine:
                 continue
             age = now - lane[0].t_submit
             full = len(lane) >= c.buckets[-1]
-            if full_only and not (full or self._stopping):
+            if (inflight_since is not None and not full
+                    and not self._stopping
+                    and lane[0].t_submit >= inflight_since):
                 continue
             if full or self._stopping or (
                 c.max_wait_ms >= 0 and age * 1e3 >= c.max_wait_ms
@@ -324,7 +331,14 @@ class InferenceEngine:
         lane = self._lanes[best_key]
         n = min(len(lane), c.buckets[-1])
         self._pending -= n
-        return [lane.popleft() for _ in range(n)]
+        out = [lane.popleft() for _ in range(n)]
+        # requests cancelled while queued (e.g. an HTTP handler timing
+        # out) are dropped here so they never occupy batch rows or
+        # device time; their max_pending slot frees with the pop above
+        live = [r for r in out if not r.future.cancelled()]
+        if not live:
+            return self._pick(inflight_since)
+        return live
 
     def _deadline(self) -> Optional[float]:
         """Under the lock: seconds until the oldest pending request matures."""
@@ -349,30 +363,34 @@ class InferenceEngine:
         in-flight batch is forced immediately instead of waiting out the
         batching deadline."""
         inflight = None
+        inflight_since = None
         while True:
             with self._lock:
-                batch = self._pick(full_only=inflight is not None)
+                batch = self._pick(inflight_since=inflight_since)
                 while batch is None and inflight is None:
                     if self._stopping and not any(self._lanes.values()):
                         return
                     self._lock.wait(timeout=self._deadline())
                     batch = self._pick()
-            nxt = None
+            nxt = nxt_since = None
             if batch is not None:
                 try:
                     nxt = self._launch(batch)
+                    nxt_since = time.monotonic()
                 except Exception as e:  # surface to callers, keep serving
                     for r in batch:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                        # _deliver's set_running_or_notify_cancel guard:
+                        # a concurrent cancel() between done() and
+                        # set_exception() would otherwise raise
+                        # InvalidStateError and kill the worker thread
+                        self._deliver(r, e, error=True)
             if inflight is not None:
                 try:
                     self._finish(inflight)
                 except Exception as e:
                     for r in inflight[0]:
-                        if not r.future.done():
-                            r.future.set_exception(e)
-            inflight = nxt
+                        self._deliver(r, e, error=True)
+            inflight, inflight_since = nxt, nxt_since
 
     def _assemble(self, reqs: List[_Request], bucket: int) -> Dict[str, Any]:
         """Copy request rows into the pinned (key, bucket) buffer, pad rows
@@ -400,7 +418,11 @@ class InferenceEngine:
     @staticmethod
     def _deliver(r: _Request, payload, *, error: bool = False):
         """Resolve a future, skipping ones the caller already cancelled
-        (set_result on a cancelled future raises InvalidStateError)."""
+        (set_result on a cancelled future raises InvalidStateError) and
+        ones already resolved (a _finish partial failure re-routes its
+        batch through the error path)."""
+        if r.future.done():
+            return
         if r.future.set_running_or_notify_cancel():
             if error:
                 r.future.set_exception(payload)
@@ -450,11 +472,28 @@ class InferenceEngine:
         return (reqs, n, bucket, group, out, t_q, t0, t_h2d)
 
     def _finish(self, inflight):
-        """Force the dispatched batch's results and deliver the futures."""
+        """Force the dispatched batch's results and deliver the futures.
+
+        Stats are recorded BEFORE the futures resolve: a caller that
+        returns from ``future.result()`` and immediately reads
+        ``stats()`` must see this batch counted (fan-out is timed and
+        appended after delivery under a second short lock)."""
         reqs, n, bucket, group, out, t_q, t0, t_h2d = inflight
         seqs = np.asarray(out[f"generated_sequences_{group}"])
         logps = np.asarray(out[f"logprobs_{group}"])
         t1 = time.monotonic()
+        with self._lock:
+            s = self._stats
+            s["batches"] += 1
+            s["rows_run"] += bucket
+            s["rows_real"] += n
+            s["occupancy"].append(n / bucket)
+            s["phase_assemble_s"].append(t0 - t_q)
+            s["phase_h2d_s"].append(t_h2d - t0)
+            s["phase_device_s"].append(t1 - t_h2d)
+            for r in reqs:
+                s["latency_s"].append(t1 - r.t_submit)
+                s["queue_s"].append(t_q - r.t_submit)
         for i, r in enumerate(reqs):
             self._deliver(r, {
                 "sequences": seqs[i],
@@ -465,15 +504,4 @@ class InferenceEngine:
             })
         t2 = time.monotonic()
         with self._lock:
-            s = self._stats
-            s["batches"] += 1
-            s["rows_run"] += bucket
-            s["rows_real"] += n
-            s["occupancy"].append(n / bucket)
-            s["phase_assemble_s"].append(t0 - t_q)
-            s["phase_h2d_s"].append(t_h2d - t0)
-            s["phase_device_s"].append(t1 - t_h2d)
-            s["phase_fanout_s"].append(t2 - t1)
-            for r in reqs:
-                s["latency_s"].append(t1 - r.t_submit)
-                s["queue_s"].append(t_q - r.t_submit)
+            self._stats["phase_fanout_s"].append(t2 - t1)
