@@ -301,14 +301,16 @@ class InferenceEngine:
         inflight_since: launch time of the batch currently on the device,
         or None if the device is idle.  While a batch is in flight, the
         overlap slot takes (a) any FULL top-bucket lane, or (b) an aged
-        partial lane whose oldest request PREDATES the in-flight launch —
-        it already waited out a whole device cycle without filling, so
-        holding it longer cannot fill it either.  A partial lane that is
-        still growing is skipped (measured: eagerly launching those
-        dropped occupancy 0.92 -> 0.75 and erased the overlap win under
-        closed-loop saturation); it launches the moment the device would
-        otherwise go idle, so no lane can be starved past its
-        max_wait_ms contract by more than one batch cycle."""
+        partial lane whose NEWEST request predates the in-flight launch —
+        the lane stopped growing a whole device cycle ago, so holding it
+        longer cannot fill it (a lone request on a cold lane).  A partial
+        lane still receiving traffic is skipped (measured twice: eagerly
+        launching growing partials drops occupancy 0.92 -> ~0.7 and
+        erases the overlap win under closed-loop saturation — both the
+        original age-only rule and an oldest-predates-launch variant
+        re-admit the hot lane's leftover rows); it launches the moment
+        the device would otherwise go idle, so no lane is starved past
+        its max_wait_ms contract by more than one batch cycle."""
         c = self.cfg
         now = time.monotonic()
         best_key, best_age = None, -1.0
@@ -319,7 +321,7 @@ class InferenceEngine:
             full = len(lane) >= c.buckets[-1]
             if (inflight_since is not None and not full
                     and not self._stopping
-                    and lane[0].t_submit >= inflight_since):
+                    and lane[-1].t_submit >= inflight_since):
                 continue
             if full or self._stopping or (
                 c.max_wait_ms >= 0 and age * 1e3 >= c.max_wait_ms
