@@ -54,6 +54,27 @@ def _feats(n=5, T=3, V=4, D=16, seed=0, normalize=False):
     }
 
 
+class TestEvalTrainScoreParity:
+    """eval retrieval_scores and the model's in-jit group_score_matrix
+    implement the same group dispatch twice (gallery-chunked fine_score
+    vs in-batch fine_score); this pins them equal on identical features
+    for EVERY group so a semantics change in one cannot silently diverge
+    train-contra from eval-retrieval scores."""
+
+    @pytest.mark.parametrize("group", ["tv", "ta", "tva", "va", "vta", "atv"])
+    def test_fine_mode_groups_match(self, av_model, group):
+        model, params = av_model
+        feats = _feats(n=4, D=model.cfg.contra_dim)
+        ours = retrieval_scores(model, params, feats, group, "fine")
+        theirs = np.asarray(
+            model.apply(
+                {"params": params}, group, feats, feats["txt_tokens"],
+                method=lambda m, g, f, t: m.group_score_matrix(g, f, t),
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
 class TestGoldenAVDirections:
     """Our retrieval_scores vs the reference compute_fine_matrix with the
     reference's per-direction mask/weight wiring (test.py:341-377), using

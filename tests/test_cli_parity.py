@@ -255,6 +255,75 @@ class TestCaptionSubmissionFormats:
         assert set(sub) == {"va", "vb"}
 
 
+class TestMultiGroupCaptionEval:
+    """A multi-group caption task ('cap%tva%tv') must score EVERY group
+    like the reference's per-group val_log (test.py:200-236), not only
+    caption_groups[0]: first group flat keys, later groups prefixed, one
+    step_{N}_{g}.json dump per group."""
+
+    def test_all_groups_scored_and_dumped(self, tmp_path, monkeypatch):
+        import json as J
+
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.eval import validate as V
+
+        # tva rows decode to the reference caption (perfect), tv rows to
+        # garbage -> the two groups MUST get different CIDEr/Bleu
+        def fake_generate(model, params, batch, groups, **kw):
+            out = {}
+            for g in groups:
+                tok = 5 if g == "tva" else 9
+                out[f"generated_sequences_{g}"] = np.full((2, 3), tok)
+            return out
+
+        monkeypatch.setattr(gen, "generate", fake_generate)
+
+        class Tok:
+            def decode(self, ids_):
+                return "good caption" if ids_[0] == 5 else "bad"
+
+        loader = iter([{"ids": ["a", "b"]}])
+        ann = {"a": ["good caption"], "b": ["good caption"]}
+        out_dir = tmp_path / "res"
+        rep = V.validate_cap(
+            None, None, loader, parse_task("cap%tva%tv"), Tok(), ann,
+            result_dir=str(out_dir), step=3,
+        )
+        # (CIDEr idf degenerates to 0 on a 2-doc corpus of identical refs,
+        # so Bleu_1 is the discriminator here)
+        assert "CIDEr" in rep and "tv_CIDEr" in rep
+        assert rep["Bleu_1"] == 1.0 and rep["tv_Bleu_1"] < 1.0
+        assert (out_dir / "step_3_tva.json").exists()
+        assert (out_dir / "step_3_tv.json").exists()
+        dump_tv = J.load(open(out_dir / "step_3_tv.json"))
+        assert all(d["caption"] == "bad" for d in dump_tv)
+
+    def test_multi_group_qa_accuracy(self, monkeypatch):
+        from valor_tpu.core.tasks import parse_task
+        from valor_tpu.eval import generate as gen
+        from valor_tpu.eval import validate as V
+
+        def fake_generate(model, params, batch, groups, **kw):
+            return {
+                f"generated_sequences_{g}": np.full((2, 2), 5 if g == "tva" else 9)
+                for g in groups
+            }
+
+        monkeypatch.setattr(gen, "generate", fake_generate)
+
+        class Tok:
+            def decode(self, ids_):
+                return "yes" if ids_[0] == 5 else "no"
+
+        loader = iter([{"ids": ["a", "b"], "answers": ["yes", "yes"]}])
+        rep = V.validate_qa(
+            None, None, loader, parse_task("qa%tva%tv"), Tok(),
+        )
+        assert rep["accuracy"] == 100.0
+        assert rep["tv_accuracy"] == 0.0
+
+
 class TestQAFallbackRowMapping:
     """validate_qa's answers-dict fallback must map tiled rows to their
     source ids via tile_index (round-2 clamped the index, scoring tail rows

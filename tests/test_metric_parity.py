@@ -172,6 +172,27 @@ class TestPTBTokenization:
         "3": ["She says 'hello' to the chef."],
     }
 
+    def test_multi_sentence_periods_dropped(self):
+        """Sentence-final periods are isolated (and dropped) ANYWHERE in
+        the text, not only at end-of-string — the Stanford jar splits
+        every sentence period; abbreviations, initials and decimals keep
+        theirs (its lexicon guard)."""
+        from valor_tpu.eval.ptb import ptb_normalize
+
+        assert (
+            ptb_normalize("A man riding a horse. He wears a hat.")
+            == "a man riding a horse he wears a hat"
+        )
+        assert (  # lowercase continuation still splits
+            ptb_normalize("a man rides. he waves.")
+            == "a man rides he waves"
+        )
+        assert ptb_normalize("Mr. Smith rides at 1.5 mph.") == (
+            "mr. smith rides at 1.5 mph"
+        )
+        assert ptb_normalize("the U.S. flag flies.") == "the u.s. flag flies"
+        assert ptb_normalize("J. Smith paints.") == "j. smith paints"
+
     def test_ptb_normalize_convention(self):
         """Curated expectations of the documented convention: lowercase,
         punctuation dropped (ptbtokenizer.py:24-25), possessives and

@@ -336,7 +336,11 @@ class MeteorJar:
             cwd=os.path.dirname(os.path.abspath(jar)),
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            # NOT a pipe: a warning-heavy jar run (e.g. partial data/
+            # paraphrase dir) fills the 64KB pipe buffer nobody drains,
+            # the JVM blocks on stderr, stops answering -stdio, and
+            # score() deadlocks on stdout.readline() holding self._lock
+            stderr=subprocess.DEVNULL,
             env=env,
             universal_newlines=True,
             bufsize=1,
@@ -424,9 +428,19 @@ def meteor_score(hyps: Dict[str, str], refs: Dict[str, List[str]]) -> float:
     return meteor_lite(hyps, refs)
 
 
+def spice_jar_path() -> Optional[str]:
+    p = os.environ.get(SPICE_JAR_ENV)
+    return p if p and os.path.exists(p) else None
+
+
 def spice_score(hyps: Dict[str, str], refs: Dict[str, List[str]]) -> Optional[float]:
-    """SPICE when the jar is available; None otherwise (no approximation)."""
-    if os.environ.get(SPICE_JAR_ENV) and java_available():
+    """SPICE when the jar is available; None otherwise (no approximation).
+
+    Gates on the jar file EXISTING, not just the env var being set — a
+    stale $VALOR_SPICE_JAR must omit the column, not crash a caption
+    eval whose BLEU/CIDEr/ROUGE are already computed (the METEOR path's
+    meteor_jar_path() makes the same check)."""
+    if spice_jar_path() and java_available():
         corpus, _ = SpiceJar().score(hyps, refs)
         return corpus
     return None

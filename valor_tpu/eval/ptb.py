@@ -88,6 +88,39 @@ _CONTRACTIONS = [
 ]
 
 
+# Abbreviations that keep their trailing period attached when they end a
+# token mid-text (the Stanford tokenizer consults an abbreviation
+# lexicon; this is the caption-corpus-sized subset).  Initials ("J.") and
+# multi-dot tokens ("u.s.", "1.5") are guarded structurally below.
+_ABBREV = frozenset(
+    "mr mrs ms dr prof sr jr st mt vs etc inc ltd co corp dept fig gen "
+    "gov sgt capt col lt ave blvd rd".split()
+)
+
+
+def _split_sentence_periods(toks: List[str]) -> List[str]:
+    """Split sentence-ending periods ANYWHERE in the text, not only at
+    end-of-string.  The regex rule above anchors at $, so a multi-sentence
+    caption ('a man riding a horse. he wears a hat.') kept 'horse.'
+    glued — diverging from the Stanford PTBTokenizer, which isolates (and
+    the wrapper then drops) every sentence period.  Abbreviations,
+    single-letter initials, and tokens with interior dots (u.s., 1.5)
+    keep their period, matching the jar's lexicon-guarded behavior."""
+    out: List[str] = []
+    for t in toks:
+        if (
+            len(t) > 2
+            and t.endswith(".")
+            and not t.endswith("..")
+            and "." not in t[:-1]
+            and t[:-1].lower() not in _ABBREV
+        ):
+            out.extend([t[:-1], "."])
+        else:
+            out.append(t)
+    return out
+
+
 def ptb_word_tokenize(text: str) -> List[str]:
     """Penn-Treebank word tokenization of one sentence (case preserved)."""
     s = " " + text.replace("\n", " ").strip() + " "
@@ -103,7 +136,7 @@ def ptb_word_tokenize(text: str) -> List[str]:
         s = rx.sub(sub, s)
     for rx in _CONTRACTIONS:
         s = rx.sub(r" \1 \2 ", s)
-    return s.split()
+    return _split_sentence_periods(s.split())
 
 
 def ptb_normalize(text: str) -> str:

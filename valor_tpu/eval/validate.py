@@ -26,6 +26,7 @@ from valor_tpu.core.tasks import TaskSpec, parse_task
 from valor_tpu.eval import generate as gen
 from valor_tpu.eval.caption_metrics import caption_eval
 from valor_tpu.eval.retrieval import qa_accuracy, retrieval_report
+from valor_tpu.models.valor import EOS_TOKEN
 from valor_tpu.tasks import losses as L
 
 
@@ -234,8 +235,17 @@ def validate_cap(
     submit_format: Optional[str] = None,  # 'coco' | 'nocaps' | 'vatex'
 ) -> Dict[str, float]:
     """Caption eval; optionally dump per-step results / leaderboard
-    submission files (reference: test.py:136-236)."""
-    hyps: Dict[str, str] = {}
+    submission files (reference: test.py:136-236).
+
+    EVERY caption group is scored, like the reference's per-group
+    val_log ('tva'/'tv'/'ta' each get compute_metric_cap + a
+    step_{N}_{g}.json dump, test.py:200-236): the first group reports
+    flat keys (CIDEr, Bleu_4, ... — what best-checkpoint tracking
+    reads), further groups are prefixed ``{g}_``.  Submission files
+    use the first group (the reference's submit flags are single-group
+    too)."""
+    groups = list(task.caption_groups)
+    group_hyps: Dict[str, Dict[str, str]] = {g: {} for g in groups}
     for batch in loader:
         ids = batch.pop("ids")
         batch.pop("ids_txt", None)
@@ -244,19 +254,22 @@ def validate_cap(
             model, params, batch, task.caption_groups,
             caption_type=caption_type, max_len=max_len, beam_size=beam_size,
         )
-        seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
-        for id_, seq in zip(ids, seqs):
-            hyps[str(id_)] = decode_sequence(tokenizer, seq)
+        for g in groups:
+            seqs = np.asarray(out[f"generated_sequences_{g}"])
+            for id_, seq in zip(ids, seqs):
+                group_hyps[g][str(id_)] = decode_sequence(tokenizer, seq)
     # merge the disjoint per-host shards BEFORE scoring (reference
     # test.py:203 all_gather_list): every host must report the same
     # dataset-level metric or the per-host best-checkpoint tracking in
     # Trainer.validate diverges. Single-host: no-op.
     from valor_tpu.parallel.collectives import all_gather_objects
 
-    merged: Dict[str, str] = {}
-    for chunk in all_gather_objects(hyps):
-        merged.update(chunk)
-    hyps = merged
+    for g in groups:
+        merged: Dict[str, str] = {}
+        for chunk in all_gather_objects(group_hyps[g]):
+            merged.update(chunk)
+        group_hyps[g] = merged
+    hyps = group_hyps[groups[0]]
     if result_dir and jax.process_index() == 0:
         import json
         import os
@@ -275,14 +288,31 @@ def validate_cap(
             payload = dict(hyps)
             path = os.path.join(result_dir, "submission.json")
         else:
-            payload = [{"video_id": i, "caption": c} for i, c in hyps.items()]
-            path = os.path.join(result_dir, f"step_{step}.json")
-        with open(path, "w") as f:
-            json.dump(payload, f)
+            # per-group step dumps, reference step_{N}_{g}.json naming
+            path = None
+            for g in groups:
+                payload_g = [
+                    {"video_id": i, "caption": c}
+                    for i, c in group_hyps[g].items()
+                ]
+                gpath = os.path.join(result_dir, f"step_{step}_{g}.json")
+                with open(gpath, "w") as f:
+                    json.dump(payload_g, f)
+        if path is not None:
+            with open(path, "w") as f:
+                json.dump(payload, f)
     if submit_format:
         return {}
-    refs = {str(i): annotations[str(i)] for i in hyps}
-    return caption_eval(hyps, refs)
+    report: Dict[str, float] = {}
+    for gi, g in enumerate(groups):
+        hy = group_hyps[g]
+        refs = {str(i): annotations[str(i)] for i in hy}
+        scores = caption_eval(hy, refs)
+        if gi == 0:
+            report.update(scores)
+        else:
+            report.update({f"{g}_{k}": v for k, v in scores.items()})
+    return report
 
 
 def validate_qa(
@@ -302,7 +332,8 @@ def validate_qa(
     ``step{N}_{g}_pred_submited_{dset}.json`` as
     ``[{"question_id": ..., "answer": ...}]``.
     """
-    preds: List[str] = []
+    groups = list(task.caption_groups)
+    group_preds: Dict[str, List[str]] = {g: [] for g in groups}
     gts: List[Any] = []
     submit: List[Dict[str, Any]] = []
     for batch in loader:
@@ -321,25 +352,32 @@ def validate_qa(
             model, params, batch, task.caption_groups,
             caption_type=caption_type, max_len=max_len, beam_size=beam_size,
         )
-        seqs = np.asarray(out[f"generated_sequences_{task.caption_groups[0]}"])
-        for j, seq in enumerate(seqs):
-            text = decode_sequence(tokenizer, seq)
-            preds.append(text)
-            if question_ids:
-                submit.append({"question_id": question_ids[j], "answer": text})
-            if batch_answers is not None:
-                gts.append(batch_answers[j])
-            else:
-                # exact row -> id mapping; a mismatch means the collate and
-                # the generator disagree about the tiling — fail loudly
-                # instead of scoring the tail against the wrong answer
-                if j >= len(row_to_id):
-                    raise ValueError(
-                        f"generated {len(seqs)} rows but only "
-                        f"{len(row_to_id)} id rows; carry 'answers' in the "
-                        "batch (QA test collate) or pass tile_index"
-                    )
-                gts.append(answers[str(row_to_id[j])])
+        # every group is decoded and scored (reference per-group val_log,
+        # test.py:108-128); ground truths are shared across groups
+        for gi, g in enumerate(groups):
+            seqs = np.asarray(out[f"generated_sequences_{g}"])
+            for j, seq in enumerate(seqs):
+                text = decode_sequence(tokenizer, seq)
+                group_preds[g].append(text)
+                if gi > 0:
+                    continue
+                if question_ids:
+                    submit.append(
+                        {"question_id": question_ids[j], "answer": text})
+                if batch_answers is not None:
+                    gts.append(batch_answers[j])
+                else:
+                    # exact row -> id mapping; a mismatch means the
+                    # collate and the generator disagree about the tiling
+                    # — fail loudly instead of scoring the tail against
+                    # the wrong answer
+                    if j >= len(row_to_id):
+                        raise ValueError(
+                            f"generated {len(seqs)} rows but only "
+                            f"{len(row_to_id)} id rows; carry 'answers' in "
+                            "the batch (QA test collate) or pass tile_index"
+                        )
+                    gts.append(answers[str(row_to_id[j])])
     # merge the disjoint per-host shards BEFORE scoring (reference
     # test.py:101 all_gather_list) so every host reports the same
     # dataset-level accuracy; the submit gather runs UNCONDITIONALLY —
@@ -348,23 +386,30 @@ def validate_qa(
     from valor_tpu.parallel.collectives import all_gather_lists
 
     gts = all_gather_lists(gts)
-    preds = all_gather_lists(preds)
+    for g in groups:
+        group_preds[g] = all_gather_lists(group_preds[g])
+    preds = group_preds[groups[0]]
     submit = all_gather_lists(submit)
     if result_dir and jax.process_index() == 0:
         import json
         import os
 
         os.makedirs(result_dir, exist_ok=True)
-        g = task.caption_groups[0]
         with open(os.path.join(result_dir, f"step{step}_gt.json"), "w") as f:
             json.dump(gts, f)
-        with open(os.path.join(result_dir, f"step{step}_{g}_pred.json"), "w") as f:
-            json.dump(preds, f)
+        for g in groups:
+            gp = os.path.join(result_dir, f"step{step}_{g}_pred.json")
+            with open(gp, "w") as f:
+                json.dump(group_preds[g], f)
         if submit:
-            name = f"step{step}_{g}_pred_submited_{dset_name or 'qa'}.json"
+            g0 = groups[0]
+            name = f"step{step}_{g0}_pred_submited_{dset_name or 'qa'}.json"
             with open(os.path.join(result_dir, name), "w") as f:
                 json.dump(submit, f)
-    return {"accuracy": qa_accuracy(preds, gts)}
+    report = {"accuracy": qa_accuracy(preds, gts)}
+    for g in groups[1:]:
+        report[f"{g}_accuracy"] = qa_accuracy(group_preds[g], gts)
+    return report
 
 
 def validate_pt(
@@ -463,7 +508,7 @@ def validate_pt(
     return report
 
 
-def decode_sequence(tokenizer, seq: np.ndarray, eos: int = 102) -> str:
+def decode_sequence(tokenizer, seq: np.ndarray, eos: int = EOS_TOKEN) -> str:
     """ids -> sentence, stopping at EOS, merging wordpieces
     (reference: model/pretrain.py:146-163)."""
     toks: List[int] = []

@@ -203,7 +203,6 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
-def dual_softmax_rescore(score: jnp.ndarray, temp: float = 100.0) -> jnp.ndarray:
-    """Dual-softmax rescoring used at retrieval eval (reference test.py:685-712)."""
-    s = score.astype(jnp.float32)
-    return jax.nn.softmax(s * temp, axis=0) * s
+# (dual-softmax rescoring lives in eval/retrieval.py:25-92 — the one
+# implementation the eval path actually uses; a near-duplicate here with
+# different temperature semantics was deleted to keep one definition)
