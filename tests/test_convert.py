@@ -100,6 +100,15 @@ class TestSurgery:
         for j in range(4, 7):
             np.testing.assert_array_equal(out[0, j], fe[0, -1])
 
+    def test_frame_embedding_shrink_truncates(self):
+        """Finetuning with FEWER frames than pretrain must hand back the
+        first n trained rows, never a wrong-shaped leaf that explodes
+        later inside model.apply."""
+        fe = _rand(1, 8, 8)
+        out = extend_frame_embedding(fe, 3)
+        assert out.shape == (1, 3, 8)
+        np.testing.assert_array_equal(out, fe[:, :3])
+
     def test_adapt_resizes_clip_pos_embed(self):
         # mismatched clip_vision positional_embedding gets bilinear-resized
         cfg = tiny_model_config(video_resolution=64)  # grid 4 -> 17 rows

@@ -396,6 +396,65 @@ class TestQACollateWithSpans:
             assert batch["audio_valid_frames"].shape == (2, 1)
             assert "audio_spectrograms" not in batch
 
+    def test_multiple_choice_samples(self):
+        """MC samples (int answer_index + choices): the train collate
+        fails with an actionable error (generative training needs a
+        textual target — the reference's shipped configs never train MC);
+        the eval collate carries choice_tokens like the reference's
+        pass-through (DIVERGENCES #21)."""
+        import pytest as _pytest
+
+        from valor_tpu.data.vqa import valorqa_collate_test, valorqa_collate_train
+
+        tok = np.full((6,), 7, np.int32)
+        mc_train = {
+            "id": "v0",
+            "qa": {"question": {"bert_tokens": tok}, "answer_index": 2,
+                   "choices": [{"bert_tokens": tok}] * 3},
+            "video": np.zeros((1, 8, 8, 3), np.float32),
+            "audio": None,
+        }
+        with _pytest.raises(ValueError, match="multiple-choice"):
+            valorqa_collate_train([mc_train])
+        mc_test = {
+            "id": "v0",
+            "qa": {"questions": [{"bert_tokens": tok}], "answers": [2],
+                   "question_ids": [], "choices": [{"bert_tokens": tok}] * 3},
+            "video": np.zeros((1, 8, 8, 3), np.float32),
+            "audio": None,
+        }
+        batch = valorqa_collate_test([mc_test])
+        assert batch["choice_tokens"].shape == (3, 6)
+        assert batch["answers"] == [2]
+
+    def test_tokenize_short_is_thread_safe(self):
+        """tokenize_one(max_len=...) must not mutate the shared mapper's
+        max_len — DataLoader worker threads share one mapper, and the old
+        save/swap/restore raced (ragged pad widths)."""
+        import concurrent.futures as cf
+
+        from valor_tpu.data.pipeline import TxtMapper
+
+        class _Tok:
+            cls_token_id, sep_token_id = 101, 102
+
+            def encode(self, text):
+                return [5] * 40
+
+        m = TxtMapper.__new__(TxtMapper)
+        m.max_len = 30
+        m.bert, m.clip = _Tok(), None
+
+        def worker(i):
+            if i % 2:
+                return m.tokenize_one("x", max_len=5)["bert_tokens"].shape[0]
+            return m.tokenize_one("x")["bert_tokens"].shape[0]
+
+        with cf.ThreadPoolExecutor(8) as pool:
+            sizes = list(pool.map(worker, range(400)))
+        assert set(sizes) == {7, 32}  # every call got ITS requested width
+        assert m.max_len == 30  # shared state never corrupted
+
 
 class TestResampler:
     """Polyphase Kaiser-sinc resampler (data/resample.py) replacing the
@@ -443,6 +502,48 @@ class TestResampler:
 
         w = np.random.RandomState(0).randn(1000).astype(np.float32)
         np.testing.assert_array_equal(resample(w, 22050, 22050), w)
+
+
+class TestWavSampleWidths:
+    """load_wav must honor the file's sample width — parsing 8/24/32-bit
+    PCM as int16 produced noise waveforms with no error."""
+
+    def _sig(self, sr=22050):
+        t = np.arange(sr, dtype=np.float64) / sr
+        return 0.5 * np.sin(2 * math.pi * 440 * t)
+
+    def _write(self, path, sig, width):
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(22050)
+            if width == 1:
+                raw = (sig * 127 + 128).astype(np.uint8).tobytes()
+            elif width == 2:
+                raw = (sig * 32767).astype("<i2").tobytes()
+            elif width == 3:
+                ints = (sig * 8388607).astype(np.int64)
+                ints = np.where(ints < 0, ints + (1 << 24), ints)
+                b = np.zeros((len(sig), 3), np.uint8)
+                b[:, 0] = ints & 255
+                b[:, 1] = (ints >> 8) & 255
+                b[:, 2] = (ints >> 16) & 255
+                raw = b.tobytes()
+            else:
+                raw = (sig * 2147483647).astype("<i4").tobytes()
+            w.writeframes(raw)
+
+    @pytest.mark.parametrize("width", [1, 2, 3, 4])
+    def test_widths_decode_to_same_signal(self, tmp_path, width):
+        from valor_tpu.data.pipeline import load_wav
+
+        sig = self._sig()
+        p = tmp_path / f"w{width}.wav"
+        self._write(p, sig, width)
+        data, sr = load_wav(str(p))
+        assert sr == 22050 and data.shape == sig.shape
+        tol = {1: 2e-2, 2: 1e-4, 3: 1e-6, 4: 1e-7}[width]
+        np.testing.assert_allclose(data, sig, atol=tol)
 
 
 class TestNon22050Audio:

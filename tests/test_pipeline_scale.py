@@ -88,6 +88,39 @@ class TestThreadedLoader:
         orders = [np.concatenate(seen[2 * e: 2 * e + 2]).ravel()[::2].tolist() for e in range(3)]
         assert any(o != orders[0] for o in orders[1:])
 
+    def test_slow_consumer_still_sees_end_of_data(self):
+        """The producer may finish while the bounded queue is still full
+        (consumer behind); the end-of-data sentinel must use the same
+        blocking put as the batches — dropping it deadlocks the consumer
+        on q.get after draining."""
+        ds = _SlowDataset(16)
+        loader = DataLoader(
+            ds, ShardedBatchSampler(16, 2, shuffle=False), _collate,
+            n_workers=2, prefetch_batches=2,
+        )
+        got = 0
+        for _ in loader:
+            time.sleep(0.05)  # slower than production -> queue stays full
+            got += 1
+        assert got == 8  # terminates (no deadlock) with every batch seen
+
+    def test_empty_per_host_sampler_raises_clear_error(self):
+        """A train flow smaller than one per-host batch must fail with an
+        actionable message, not PEP-479 'generator raised StopIteration'."""
+        import pytest as _pytest
+
+        from valor_tpu.data.loader import MetaLoader
+
+        ds = _SlowDataset(2)
+        # shuffle=True is the train regime: full lockstep batches only,
+        # so 2 items with batch 4 yields zero batches per host
+        empty = DataLoader(
+            ds, ShardedBatchSampler(2, 4, shuffle=True), _collate,
+        )
+        ml = MetaLoader({"flow": (empty, 1)})
+        with _pytest.raises(ValueError, match="yields no batches"):
+            next(iter(ml))
+
     def test_close_stops_repeat_loader_threads(self):
         """Abandoning a repeat=True iterator parks its feeder thread on a
         full queue forever; close() must unblock it and let the worker

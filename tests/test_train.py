@@ -86,6 +86,45 @@ class TestOptimizerGroups:
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+class TestFrozenClipExclusion:
+    def test_frozen_grads_do_not_inflate_clip_norm(self):
+        """The reference's frozen towers carry requires_grad=False, so
+        its clip_grad_norm_ never sees their grads; ours must zero them
+        BEFORE the global-norm clip or huge frozen-encoder grads shrink
+        every trainable update (and they must stay exactly zero after)."""
+        cfg = tiny_model_config()
+        task = parse_task("ret%tv")
+        batch = make_batch(jax.random.PRNGKey(0))
+        _, params = _init(cfg, batch, task)
+        tcfg = TrainConfig(
+            num_train_steps=10, learning_rate=1e-2, clip_lr=1e-2,
+            clip_lr_text=1e-2, grad_norm=1.0,
+        )
+        tx = build_optimizer(params, tcfg, frozen_vision=True)
+        opt_state = tx.init(params)
+        labels = label_params(params, [], frozen_vision=True)
+        # unit grads everywhere, then a HUGE grad on every frozen leaf
+        grads_small = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 1e-3), params)
+        grads_big = jax.tree_util.tree_map(
+            lambda g, lbl: jnp.full_like(g, 1e6) if lbl == "frozen" else g,
+            grads_small, labels,
+        )
+        u_small, _ = tx.update(grads_small, opt_state, params)
+        u_big, _ = tx.update(grads_big, tx.init(params), params)
+        flat_s = jax.tree_util.tree_flatten_with_path(u_small)[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(u_big)[0])
+        flat_l = dict(jax.tree_util.tree_flatten_with_path(labels)[0])
+        for path, us in flat_s:
+            ub, lbl = flat_b[path], flat_l[path]
+            if lbl == "frozen":
+                assert float(jnp.max(jnp.abs(ub))) == 0.0
+            else:
+                # trainable updates identical whatever the frozen grads
+                np.testing.assert_allclose(
+                    np.asarray(us), np.asarray(ub), rtol=1e-6, atol=1e-9)
+
+
 class TestShardedStep:
     def test_dp_step_on_mesh(self):
         cfg = tiny_model_config()

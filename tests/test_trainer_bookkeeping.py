@@ -132,3 +132,22 @@ class TestMetricAttribution:
         assert trainer.meters["ret%tv--A/total_loss"].val == pytest.approx(2.0)
         assert trainer.meters["cap%tv--B/total_loss"].val == pytest.approx(5.0)
         assert "loop:cap%tv" in calls
+
+    def test_fused_tail_flushed_at_loader_exhaustion(self):
+        """A finite loader ending mid-window must still train the buffered
+        batches: 5 batches with inner_steps=4 -> one fused window (4) plus
+        one flushed single step, never 4."""
+        calls = []
+        seq = [("ret%tv--A", {"x": i}) for i in range(5)]
+        tcfg = TrainConfig(num_train_steps=100, valid_steps=0)
+        trainer = _make_trainer(tcfg, iter(seq), inner_steps=4)
+        trainer.train_step = _stub_step(calls, {"ret%tv": 2.0})
+
+        def stub_loop(state, stacked, rng, task):
+            calls.append(f"loop:{task.raw}")
+            return _StubState(state.step + 4), {"total_loss": jnp.asarray(2.0)}
+
+        trainer.train_loop = stub_loop
+        state = trainer.run()
+        assert calls == ["loop:ret%tv", "ret%tv"]  # window + flushed tail
+        assert state.step == 5

@@ -149,26 +149,31 @@ class DataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2, self.prefetch_batches))
         sentinel = object()
 
+        def interruptible_put(item) -> bool:
+            """Blocking put that aborts on close(); True if delivered.
+            A repeat=True producer whose consumer walked away would
+            otherwise park on q.put forever, leaking the worker pool and
+            its decoded batches."""
+            while not self._stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def work():
             try:
                 for b in self._produce():
-                    # bounded put that aborts on close(): a repeat=True
-                    # producer whose consumer walked away would otherwise
-                    # park on q.put forever, leaking the worker pool and
-                    # its decoded batches
-                    while not self._stop.is_set():
-                        try:
-                            q.put(b, timeout=0.1)
-                            break
-                        except queue_mod.Full:
-                            continue
-                    if self._stop.is_set():
+                    if not interruptible_put(b):
                         return
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue_mod.Full:
-                    pass  # consumer is gone; nobody will q.get again
+                # the sentinel must use the SAME interruptible blocking
+                # put: a full queue here usually means the consumer is
+                # merely behind, and dropping the sentinel would leave it
+                # blocked on q.get forever after draining (end of a
+                # finite loader with a slow consumer)
+                interruptible_put(sentinel)
         t = threading.Thread(target=work, daemon=True)
         t.start()
         while True:
@@ -233,7 +238,19 @@ class MetaLoader:
                 self.epoch += 1
                 self.name2loader[task].sampler.set_epoch(self.epoch)
                 self.name2iter[task] = iter(self.name2loader[task])
-                batch = next(self.name2iter[task])
+                try:
+                    batch = next(self.name2iter[task])
+                except StopIteration:
+                    # a fresh iterator yielding nothing means the per-host
+                    # sampler is EMPTY ((n_items // n_hosts) // batch < 1);
+                    # re-raising StopIteration inside this generator would
+                    # surface as PEP-479 "RuntimeError: generator raised
+                    # StopIteration" with no hint at the cause
+                    raise ValueError(
+                        f"train flow {task!r} yields no batches: the "
+                        "dataset is smaller than one per-host batch "
+                        "(shrink batch_size or the host count)"
+                    ) from None
             yield task, batch
 
 

@@ -15,8 +15,9 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _LIB_PATHS = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvalor_native.so"),
+    # the explicit override must be tried FIRST or it can never override
     os.environ.get("VALOR_NATIVE_LIB", ""),
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvalor_native.so"),
 ]
 
 _lib = None

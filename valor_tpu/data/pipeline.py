@@ -79,23 +79,33 @@ class TxtMapper:
         self.training = training
         self.test_one = test_one
 
-    def _pad(self, ids: List[int], bos: int, eos: int) -> np.ndarray:
-        ids = ids[: self.max_len]
+    def _pad(self, ids: List[int], bos: int, eos: int,
+             max_len: Optional[int] = None) -> np.ndarray:
+        L = self.max_len if max_len is None else max_len
+        ids = ids[:L]
         ids = [bos] + ids + [eos]
-        out = np.zeros(self.max_len + 2, np.int32)
+        out = np.zeros(L + 2, np.int32)
         out[: len(ids)] = ids
         return out
 
-    def tokenize_one(self, text: str) -> Dict[str, np.ndarray]:
+    def tokenize_one(self, text: str,
+                     max_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """max_len overrides self.max_len for THIS call only — it must be
+        a parameter, not mutated instance state: DataLoader worker
+        threads share one mapper, and a temporary self.max_len swap races
+        (ragged pad widths, or a permanently corrupted max_len when
+        save/restore interleaves)."""
         text = clean_text(text)
         out = {}
         if self.bert is not None:
             out["bert_tokens"] = self._pad(
-                self.bert.encode(text), self.bert.cls_token_id, self.bert.sep_token_id
+                self.bert.encode(text), self.bert.cls_token_id,
+                self.bert.sep_token_id, max_len,
             )
         if self.clip is not None:
             out["clip_tokens"] = self._pad(
-                self.clip.encode(text), self.clip.sot_token, self.clip.eot_token
+                self.clip.encode(text), self.clip.sot_token,
+                self.clip.eot_token, max_len,
             )
         return out
 
@@ -246,10 +256,30 @@ def load_wav(path: str) -> tuple[np.ndarray, int]:
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
-        data = np.frombuffer(w.readframes(n), dtype=np.int16)
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+        # honor the file's sample width — blindly parsing as int16 turns
+        # 8/24/32-bit PCM into noise waveforms with no error
+        if width == 2:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:  # WAV 8-bit is unsigned
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif width == 4:
+            data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif width == 3:  # 24-bit packed little-endian
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            data = ints.astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"{path}: unsupported wav sample width {width}")
         if w.getnchannels() > 1:
             data = data.reshape(-1, w.getnchannels()).mean(axis=1)
-    return data.astype(np.float32) / 32768.0, sr
+    return data, sr
 
 
 class AudioMapper:

@@ -65,12 +65,9 @@ class QATxtMapper(TxtMapper):
         return out
 
     def tokenize_one_short(self, text: str, max_len: int) -> Dict[str, np.ndarray]:
-        saved = self.max_len
-        self.max_len = max_len
-        try:
-            return self.tokenize_one(text)
-        finally:
-            self.max_len = saved
+        # thread-safe: max_len rides the call, never mutates shared state
+        # (worker threads share this mapper — see TxtMapper.tokenize_one)
+        return self.tokenize_one(text, max_len=max_len)
 
 
 class VALORQADataset(VALORDataset):
@@ -112,6 +109,19 @@ def valorqa_collate_train(
     tile_index: List[int] = []
     for qi, s in enumerate(samples):
         qa = s["qa"]
+        if "answer" not in qa:
+            # multiple-choice sample (int answer_index + choices).  The
+            # reference's collate builds a batch of int txt_tokens that
+            # no model path consumes (choice_tokens has zero consumers
+            # and no shipped config uses MC — DIVERGENCES.md); training
+            # generatively needs a textual target, so fail with the fix
+            # instead of a KeyError deep in zip().
+            raise ValueError(
+                "multiple-choice QA sample has no textual answer to "
+                "train on (answer_index only); supply answer strings "
+                "(the reference trains every shipped QA config "
+                "generatively) or use the eval collate"
+            )
         for a, w in zip(qa["answer"], qa["answer_weights"]):
             answers.append(a)
             weights.append(w)
@@ -164,6 +174,12 @@ def valorqa_collate_test(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         "question_ids": question_ids or None,
         "tile_index": np.asarray(tile_index, np.int32),
     }
+    # multiple-choice pass-through, mirroring the reference collate's
+    # choice_tokens key (data/vqa.py:160-166 — which nothing downstream
+    # consumes there either; carried for custom eval consumers)
+    choices = [c for s in samples for c in s["qa"].get("choices", [])]
+    if choices:
+        batch["choice_tokens"] = _stack_tok(choices).get("bert_tokens")
     if samples[0]["video"] is not None:
         batch["video_pixels"] = np.stack([s["video"] for s in samples])
     from valor_tpu.data.pipeline import collate_audio

@@ -199,11 +199,20 @@ def bilinear_resize_pos_embed_2d(
 
 def extend_frame_embedding(frame_emb: np.ndarray, n_needed: int) -> np.ndarray:
     """Copy the last trained row into rows beyond the pretrain frame count
-    (reference: train_utils.py:148-151)."""
+    (reference: train_utils.py:148-151), or TRUNCATE to the first
+    n_needed rows when finetuning with fewer frames than pretrain.
+
+    (The reference never shrinks because its frame_embedding is a
+    fixed max-size buffer it indexes a prefix of; ours is sized to the
+    config, so returning the source unchanged here would hand
+    adapt_pretrained_params a wrong-shaped leaf that only explodes much
+    later inside model.apply.)"""
     fe = np.asarray(frame_emb)
     n_have = fe.shape[1]
-    if n_needed <= n_have:
+    if n_needed == n_have:
         return fe
+    if n_needed < n_have:
+        return fe[:, :n_needed]
     pad = np.repeat(fe[:, -1:], n_needed - n_have, axis=1)
     return np.concatenate([fe, pad], axis=1)
 

@@ -250,7 +250,33 @@ def build_optimizer(
     #   adam   -> torch Adam: L2 folded into the gradient BEFORE the
     #             moments (coupled), eps 1e-8,
     #   adamax -> torch Adamax (infinity-norm second moment), coupled L2.
-    chain = [clip_by_global_norm_flat(cfg.grad_norm)]
+    #
+    # Frozen grads are zeroed BEFORE the global-norm clip: the reference
+    # sets requires_grad=False on frozen towers (modeling.py:319-322), so
+    # its clip_grad_norm_ over amp.master_params never sees them; letting
+    # them into the flat norm would inflate gnorm and over-clip the
+    # trainable params' updates.  (It also keeps the frozen leaves' adam
+    # moments exactly zero.)
+    chain: list = []
+    if any(
+        lbl == "frozen" for lbl in jax.tree_util.tree_leaves(labels)
+    ):
+        def _zero_frozen(updates, state, params=None):
+            del params
+            return (
+                jax.tree_util.tree_map(
+                    lambda u, lbl: jnp.zeros_like(u) if lbl == "frozen" else u,
+                    updates, labels,
+                ),
+                state,
+            )
+
+        chain.append(
+            optax.GradientTransformation(
+                lambda params: optax.EmptyState(), _zero_frozen
+            )
+        )
+    chain.append(clip_by_global_norm_flat(cfg.grad_norm))
     decoupled_wd = cfg.weight_decay
     if cfg.optim in ("adam", "adamax"):
         decoupled_wd = 0.0

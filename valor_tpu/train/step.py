@@ -70,6 +70,41 @@ def _apply_losses(model, params, batch, task, rngs, moe_aux_weight: float):
     )
 
 
+def _step_body(
+    model, tx, state: TrainState, batch, rng, task: TaskSpec,
+    grad_dtype: Optional[str], moe_aux_weight: float, with_grad_norm: bool,
+):
+    """The one train step: loss-dict forward, grad, optimizer update.
+    Shared by make_train_step (one jit per call) and make_train_loop
+    (scanned K times inside one jit) so the two paths cannot drift."""
+    rng = jax.random.fold_in(rng, state.step)
+    mask_rng, drop_rng = jax.random.split(rng)
+
+    def loss_fn(params):
+        with train_mode():
+            losses = _apply_losses(
+                model, params, batch, task,
+                {"mask": mask_rng, "dropout": drop_rng}, moe_aux_weight,
+            )
+        total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+        return total, losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    grads = _cast_grads(grads, grad_dtype)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(losses)
+    metrics["total_loss"] = total
+    if with_grad_norm:
+        from valor_tpu.train.optimizer import global_norm_flat
+
+        metrics["grad_norm"] = global_norm_flat(grads)
+    return (
+        TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+        metrics,
+    )
+
+
 def make_train_step(
     model, tx, donate: bool = True, with_grad_norm: bool = True,
     grad_dtype: Optional[str] = None, moe_aux_weight: float = 0.0,
@@ -83,31 +118,9 @@ def make_train_step(
 
     @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng, task: TaskSpec):
-        rng = jax.random.fold_in(rng, state.step)
-        mask_rng, drop_rng = jax.random.split(rng)
-
-        def loss_fn(params):
-            with train_mode():
-                losses = _apply_losses(
-                    model, params, batch, task,
-                    {"mask": mask_rng, "dropout": drop_rng}, moe_aux_weight,
-                )
-            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
-            return total, losses
-
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        grads = _cast_grads(grads, grad_dtype)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(losses)
-        metrics["total_loss"] = total
-        if with_grad_norm:
-            from valor_tpu.train.optimizer import global_norm_flat
-
-            metrics["grad_norm"] = global_norm_flat(grads)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
+        return _step_body(
+            model, tx, state, batch, rng, task,
+            grad_dtype, moe_aux_weight, with_grad_norm,
         )
 
     return train_step
@@ -124,36 +137,18 @@ def make_train_loop(
     marshaling (which dominates on tunneled/remote PJRT runtimes and is
     nonzero even locally) and letting XLA overlap step boundaries.
     Batches arrive stacked on a new leading axis: [K, B, ...].
+    (grad_norm metric intentionally off inside the scan: its flat concat
+    would add a transient full-param-size buffer at the fused loop's
+    memory high-water mark — PERF_NOTES.md round-1.)
     """
-
-    def one_step(state: TrainState, batch, rng, task: TaskSpec):
-        rng = jax.random.fold_in(rng, state.step)
-        mask_rng, drop_rng = jax.random.split(rng)
-
-        def loss_fn(params):
-            with train_mode():
-                losses = _apply_losses(
-                    model, params, batch, task,
-                    {"mask": mask_rng, "dropout": drop_rng}, moe_aux_weight,
-                )
-            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
-            return total, losses
-
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        grads = _cast_grads(grads, grad_dtype)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(losses)
-        metrics["total_loss"] = total
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
 
     @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
     def train_loop(state: TrainState, stacked_batch, rng, task: TaskSpec):
         def body(state, batch):
-            return one_step(state, batch, rng, task)
+            return _step_body(
+                model, tx, state, batch, rng, task,
+                grad_dtype, moe_aux_weight, False,
+            )
 
         state, metrics = jax.lax.scan(body, state, stacked_batch, length=n_inner)
         return state, jax.tree_util.tree_map(jnp.mean, metrics)

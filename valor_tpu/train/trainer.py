@@ -208,6 +208,12 @@ class Trainer:
                 self.evaluate_and_save(step)
             if step >= t.num_train_steps:
                 break
+        # flush buffered same-task batches the fused loop never filled a
+        # window for (loader exhausted / step limit hit mid-window) — a
+        # finite-loader run must train on every batch it was handed
+        if pending and pending_task is not None and step < t.num_train_steps:
+            micro = self._flush(pending, pending_task[1], micro, pending_task[0])
+            pending = []
         self._drain_metrics()
         self.evaluate_and_save(micro // accum)
         if self.saver is not None:
